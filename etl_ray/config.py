@@ -1,0 +1,170 @@
+"""Engine configuration and payload specs.
+
+The engine core is generic over the payload columns carried by the changelog;
+the required "control" columns are ``op`` (insert|update|delete), ``doc_id``
+(string or int key) and ``sequence_number`` (int64, globally unique, monotone
+in commit order). The flagship instance is the pre-tokenized training-sequence
+table ``(doc_id, tokens: list<int32>, n_tok: int32, source: string)``
+(BASELINE.json input_hint).
+
+Config-as-data mirrors the reference's registries (buffer sizes, skip counts,
+datatype tables — /root/reference/etl/globals.go:270-330).
+"""
+
+from __future__ import annotations
+
+import zlib
+from dataclasses import dataclass, field
+from typing import Callable, Optional
+
+import numpy as np
+import pyarrow as pa
+
+# Reserved shard id for quarantined (invalid) events. Real partitions are
+# shard = part * max_salt + salt, all >= 0.
+QUARANTINE_SHARD = -1
+
+CONTROL_COLUMNS = ("op", "doc_id", "sequence_number")
+VALID_OPS = ("insert", "update", "delete")
+
+
+def crc32_part(doc_ids: pa.Array, num_partitions: int) -> np.ndarray:
+    """Deterministic partition assignment hash(doc_id) % P.
+
+    crc32 is stable across processes / Python versions (unlike builtin
+    ``hash``), which the resume / exactly-once protocol requires: a replayed
+    commit must route every event to the same partition it chose before the
+    crash. Null doc_ids get partition 0 (they are quarantined upstream).
+    """
+    out = np.empty(len(doc_ids), dtype=np.int64)
+    for i, v in enumerate(doc_ids):
+        s = v.as_py() if hasattr(v, "as_py") else v
+        if s is None:
+            out[i] = 0
+        else:
+            out[i] = zlib.crc32(str(s).encode("utf-8")) % num_partitions
+    return out
+
+
+def modulo_part(doc_ids: pa.Array, num_partitions: int) -> np.ndarray:
+    """Partition fn for integer doc_ids, reproducible in ANSI SQL
+    (``doc_id % P``) — used by the driver-verified oracle queries."""
+    ids = np.asarray(doc_ids.to_numpy(zero_copy_only=False), dtype=np.int64)
+    return np.abs(ids) % num_partitions
+
+
+@dataclass
+class PayloadSpec:
+    """Describes the payload columns and their validity rules.
+
+    ``validate(table) -> (reason: np.ndarray[object])`` returns a per-row
+    quarantine reason (None for valid rows). Payload validity is only
+    enforced for insert/update ops; deletes carry null payloads by design
+    (FIXTURES.md F2).
+    """
+
+    name: str = "generic"
+    # Arrow schema of payload columns (excludes control columns).
+    payload_schema: Optional[pa.Schema] = None
+    # fn(table, upsert_mask: np.ndarray[bool]) -> np.ndarray[object] of reasons
+    validator: Optional[Callable] = None
+
+    def validate(self, table: pa.Table, upsert_mask: np.ndarray) -> np.ndarray:
+        if self.validator is None:
+            return np.full(len(table), None, dtype=object)
+        return self.validator(table, upsert_mask)
+
+
+def _tokens_validator(vocab_size: int, max_tokens: int):
+    import pyarrow.compute as pc
+
+    def validate(table: pa.Table, upsert_mask: np.ndarray) -> np.ndarray:
+        n = len(table)
+        reasons = np.full(n, None, dtype=object)
+        if "tokens" not in table.column_names:
+            reasons[upsert_mask] = "missing tokens column"
+            return reasons
+        tokens = table["tokens"].combine_chunks() if isinstance(
+            table["tokens"], pa.ChunkedArray) else table["tokens"]
+        null_tok = pc.is_null(tokens).to_numpy(zero_copy_only=False)
+        lengths = pc.list_value_length(tokens).fill_null(-1).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        if "n_tok" in table.column_names:
+            n_tok = pc.cast(table["n_tok"], pa.int64()).combine_chunks()
+            n_tok_np = n_tok.fill_null(-(2**62)).to_numpy(zero_copy_only=False)
+            bad_len = (n_tok_np != lengths)
+        else:
+            bad_len = np.zeros(n, dtype=bool)
+        oversize = lengths > max_tokens
+        # per-row token value range check, vectorized over the flat values
+        flat = tokens.flatten()  # drops nulls' slots
+        vals = flat.to_numpy(zero_copy_only=False)
+        bad_vals = (vals < 0) | (vals >= vocab_size)
+        bad_value_rows = np.zeros(n, dtype=bool)
+        if bad_vals.any():
+            valid_lengths = lengths.copy()
+            valid_lengths[null_tok] = 0
+            row_of_val = np.repeat(np.arange(n), valid_lengths)
+            np.logical_or.at(bad_value_rows, row_of_val[bad_vals], True)
+        reasons[upsert_mask & null_tok] = "null tokens for upsert"
+        reasons[upsert_mask & ~null_tok & bad_len] = "n_tok != len(tokens)"
+        reasons[upsert_mask & ~null_tok & oversize] = "tokens oversize"
+        reasons[upsert_mask & ~null_tok & bad_value_rows] = "token out of vocab"
+        return reasons
+
+    return validate
+
+
+def TokensPayload(vocab_size: int = 50257, max_tokens: int = 1 << 20) -> PayloadSpec:
+    """The flagship payload: pre-tokenized training sequences.
+
+    The oversize guard mirrors the reference's max-file / max-row caps
+    (/root/reference/task/task.go:30-34, parser/scamper1.go:22-25).
+    """
+    return PayloadSpec(
+        name="tokens",
+        payload_schema=pa.schema(
+            [
+                pa.field("tokens", pa.list_(pa.int32())),
+                pa.field("n_tok", pa.int32()),
+                pa.field("source", pa.string()),
+            ]
+        ),
+        validator=_tokens_validator(vocab_size, max_tokens),
+    )
+
+
+@dataclass
+class EngineConfig:
+    """Tuning knobs. Sized for a multi-node cluster; tests shrink them.
+
+    num_partitions: choose so one partition's live data fits a worker's heap
+      during merge/compaction (~1-2 GB). At 100 TB that means P ~ 64k; the
+      sandbox bench uses 32-64. Partition count is fixed at lake-creation
+      time (manifest records it); changing it requires a full rewrite.
+    max_salt: events within one hot partition can be split into up to
+      ``max_salt`` sub-groups per commit (salt = sequence_number % S). LWW
+      merge-on-read resolves across salted delta files by sequence_number,
+      so salting never changes results — it only splits a straggler group.
+    salt_threshold: events-per-partition count in a commit above which the
+      partition is salted.
+    batch_size: rows per validate batch. Token rows are ~0.5-2 KB; 8192 rows
+      ≈ 8-16 MB per batch.
+    compact_min_deltas: compaction triggers for partitions with at least
+      this many delta files.
+    """
+
+    num_partitions: int = 32
+    max_salt: int = 8
+    salt_threshold: int = 250_000
+    batch_size: int = 8192
+    apply_concurrency: Optional[int] = None  # None → let Ray pick task pool
+    compact_min_deltas: int = 4
+    max_segments_per_commit: int = 1_000_000
+    skip_count: int = 0  # sampling relief valve (reference etl/globals.go:326-330)
+    payload: PayloadSpec = field(default_factory=TokensPayload)
+    # partition fn: fn(doc_id_array, P) -> np.ndarray[int64]
+    part_fn: Callable = crc32_part
+
+    def shard_of(self, part: np.ndarray, salt: np.ndarray) -> np.ndarray:
+        return part * self.max_salt + salt

@@ -1,0 +1,124 @@
+"""Compaction: merge a partition's base+delta runs into a new base file.
+
+LSM maintenance: apply keeps writing small sorted delta runs; when a
+partition accumulates >= ``compact_min_deltas`` deltas, compaction sort-merge
+dedups (LWW) base ∪ deltas into ``base-g<gen>-p<k>.parquet``, DROPS
+tombstones (safe: every live file of the partition participates), and
+commits a new manifest that swaps the file list atomically. Deterministic
+file names (gen = new manifest version) make a crashed compaction replayable.
+
+No shuffle: the lake is already partitioned; one task per partition.
+"""
+
+from __future__ import annotations
+
+import os
+import time
+from typing import Optional
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from etl_ray.config import EngineConfig
+from etl_ray.stages.merge import merge_runs
+from etl_ray.state.manifest import Manifest
+
+
+class CompactGroup:
+    def __init__(self, lake_dir: str, schema_hex: str, new_gen: int):
+        from etl_ray.schema import schema_from_hex
+
+        self.lake_dir = lake_dir
+        self.schema = schema_from_hex(schema_hex)
+        self.new_gen = new_gen
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        rows = []
+        for row in batch.to_pylist():
+            t0 = time.monotonic()
+            part = row["part"]
+            tables = [
+                pq.read_table(os.path.join(self.lake_dir, f))
+                for f in row["files"]
+            ]
+            merged = merge_runs(
+                tables, drop_deletes=True, target_schema=self.schema
+            )
+            if "op" in merged.column_names:
+                merged = merged.drop_columns(["op"])
+            rel = os.path.join(
+                f"part={part}", f"base-g{self.new_gen}-p{part}.parquet"
+            )
+            path = os.path.join(self.lake_dir, rel)
+            os.makedirs(os.path.dirname(path), exist_ok=True)
+            tmp = path + ".tmp"
+            pq.write_table(merged, tmp)
+            os.replace(tmp, path)
+            rows.append(
+                {
+                    "part": part,
+                    "rows": len(merged),
+                    "file": rel,
+                    "n_inputs": len(tables),
+                    "wall_sec": time.monotonic() - t0,
+                }
+            )
+        return pa.Table.from_pylist(rows)
+
+
+def compact(
+    lake_dir: str,
+    config: Optional[EngineConfig] = None,
+    *,
+    min_deltas: Optional[int] = None,
+    force: bool = False,
+    concurrency: Optional[int] = None,
+) -> dict:
+    """Compact eligible partitions; returns a summary dict. ``force``
+    compacts every partition that has any delta or >1 file."""
+    import ray.data as rd
+
+    config = config or EngineConfig()
+    if min_deltas is None:
+        min_deltas = config.compact_min_deltas
+    manifest = Manifest.load(lake_dir)
+    todo = []
+    for k, p in sorted(manifest.partitions.items()):
+        n_delta = sum(1 for f in p.files if "/delta-" in f or f.startswith("delta-"))
+        if (force and len(p.files) > 1) or n_delta >= min_deltas:
+            todo.append({"part": k, "files": list(p.files)})
+    if not todo:
+        return {"compacted_partitions": 0, "rows": 0}
+
+    new_version = manifest.version + 1
+    if concurrency is None:
+        import ray
+
+        cpus = int(ray.cluster_resources().get("CPU", 4))
+        concurrency = max(1, min(len(todo), cpus - 1))
+    ds = rd.from_items(todo).repartition(len(todo))
+    stats = ds.map_batches(
+        CompactGroup,
+        fn_constructor_args=(lake_dir, manifest.schema_hex, new_version),
+        batch_format="pyarrow",
+        batch_size=None,
+        concurrency=concurrency,
+        num_cpus=1,
+    ).to_pandas()
+
+    manifest.version = new_version
+    total_rows = 0
+    for row in stats.itertuples(index=False):
+        p = manifest.partition(int(row.part))
+        p.files = [row.file]
+        p.base_gen = new_version
+        total_rows += int(row.rows)
+    manifest.lineage["commits"].append(
+        {
+            "commit_id": f"compact-g{new_version}",
+            "compacted_partitions": len(stats),
+            "rows": total_rows,
+        }
+    )
+    manifest.commit()
+    return {"compacted_partitions": len(stats), "rows": total_rows}

@@ -1,0 +1,191 @@
+"""End-to-end replay: tail WAL → validate → shuffle → apply → commit.
+
+One commit = one atomic application of a contiguous range of unapplied WAL
+segments (the analog of the reference's one-task-per-archive lifecycle,
+/root/reference/task/task.go:90-200, with Gardener-style resume,
+active/poller.go:152-216).
+
+Pipeline (streaming, zero-copy Arrow end to end):
+
+    ray.data.read_parquet(segments)                 # distributed read tasks
+      .map_batches(Validator, batch_format="pyarrow")   # stateless decode/route
+      .groupby("__shard")                           # THE hash shuffle on doc_id
+      .map_groups(ApplyGroup, ...)                  # stateful actor-pool apply
+      → tiny per-shard stats table on the driver → atomic manifest commit
+
+Skew: partitions whose previous-commit event count exceeded
+``salt_threshold`` are salted this commit (salt = seq % max_salt) — adaptive,
+no extra IO; correctness unaffected because merge-on-read is LWW by
+sequence_number across all delta files.
+"""
+
+from __future__ import annotations
+
+import time
+from typing import List, Optional
+
+import pyarrow as pa
+
+from etl_ray.config import QUARANTINE_SHARD, EngineConfig
+from etl_ray.schema import promote_all
+from etl_ray.sources.wal import list_segments, segments_schema
+from etl_ray.stages.apply import ApplyGroup
+from etl_ray.stages.validate import Validator
+from etl_ray.state.manifest import Manifest
+from etl_ray.state.stats import CommitStats
+
+# Control columns every changelog carries, as an Arrow schema fragment.
+_CONTROL_SCHEMA = pa.schema(
+    [
+        pa.field("op", pa.string()),
+        pa.field("doc_id", pa.string()),
+        pa.field("sequence_number", pa.int64()),
+    ]
+)
+
+
+def _target_schema(manifest: Manifest, seg_paths: List[str],
+                   config: EngineConfig) -> pa.Schema:
+    schemas = []
+    if manifest.schema is not None:
+        schemas.append(manifest.schema)
+    else:
+        base = _CONTROL_SCHEMA
+        if config.payload.payload_schema is not None:
+            for f in config.payload.payload_schema:
+                base = base.append(f)
+        schemas.append(base)
+    schemas.append(segments_schema(seg_paths))
+    return promote_all(schemas)
+
+
+def _salted_parts(manifest: Manifest, config: EngineConfig) -> frozenset:
+    commits = manifest.lineage.get("commits", [])
+    if not commits:
+        return frozenset()
+    last = commits[-1].get("per_partition", {})
+    return frozenset(
+        int(k) for k, v in last.items() if v.get("rows", 0) >= config.salt_threshold
+    )
+
+
+def replay_once(
+    wal_dir: str,
+    lake_dir: str,
+    config: EngineConfig,
+    *,
+    max_segments: Optional[int] = None,
+    commit: bool = True,
+) -> Optional[CommitStats]:
+    """Apply the next batch of unapplied segments as one commit.
+
+    Returns None when there is nothing to apply. ``commit=False`` performs
+    all data writes but skips the manifest flip — used by crash/resume tests
+    to simulate a failure between apply and commit (the rerun must produce
+    byte-identical files and the same manifest).
+    """
+    import ray
+    import ray.data as rd
+
+    t0 = time.monotonic()
+    manifest = Manifest.load(lake_dir)
+    if manifest.version == 0 and not manifest.partitions:
+        manifest.num_partitions = config.num_partitions
+    elif manifest.num_partitions != config.num_partitions:
+        raise ValueError(
+            f"lake has {manifest.num_partitions} partitions; config says "
+            f"{config.num_partitions} — partition count is fixed at creation"
+        )
+    segs = list_segments(
+        wal_dir,
+        after=manifest.applied_through_segment,
+        skip_count=config.skip_count,
+        limit=max_segments or config.max_segments_per_commit,
+    )
+    if not segs:
+        return None
+    seg_paths = [s.path for s in segs]
+    target = _target_schema(manifest, seg_paths, config)
+    commit_id = manifest.commit_id
+    salted = _salted_parts(manifest, config)
+
+    ds = rd.read_parquet(seg_paths)
+    ds = ds.map_batches(
+        Validator(config, target, salted),
+        batch_format="pyarrow",
+        batch_size=config.batch_size,
+    )
+    concurrency = config.apply_concurrency
+    if concurrency is None:
+        # leave headroom for the read/validate/shuffle stages: an actor pool
+        # that reserves every CPU starves upstream and the pipeline stalls
+        concurrency = max(2, int(ray.cluster_resources().get("CPU", 4)) - 2)
+    stats_tbl = (
+        ds.groupby("__shard")
+        .map_groups(
+            ApplyGroup,
+            fn_constructor_args=(lake_dir, commit_id, config),
+            batch_format="pyarrow",
+            concurrency=concurrency,
+            num_cpus=1,
+        )
+        .to_pandas()
+    )
+
+    cs = CommitStats(commit_id=commit_id, segments=[s.number for s in segs])
+    cs.events_in = int(stats_tbl["rows_in"].sum())
+    new_version = manifest.version + 1
+    for row in stats_tbl.itertuples(index=False):
+        if row.shard == QUARANTINE_SHARD:
+            cs.quarantined += int(row.rows_in)
+            manifest.quarantine_files.append(row.file)
+            continue
+        cs.rows_written += int(row.rows_out)
+        cs.deletes += int(row.deletes)
+        p = manifest.partition(int(row.part))
+        p.files.append(row.file)
+        p.watermark_seq = max(p.watermark_seq, int(row.max_seq))
+        pp = cs.per_partition.setdefault(
+            int(row.part), {"rows": 0, "sec": 0.0})
+        pp["rows"] += int(row.rows_in)
+        pp["sec"] += float(row.wall_sec)
+    for pp in cs.per_partition.values():
+        pp["rows_per_sec"] = round(pp["rows"] / pp["sec"], 1) if pp["sec"] else None
+    cs.valid = cs.events_in - cs.quarantined
+    cs.wall_sec = time.monotonic() - t0
+
+    manifest.version = new_version
+    manifest.set_schema(target)
+    manifest.applied_through_segment = segs[-1].number
+    lin = manifest.lineage
+    lin["events_in"] += cs.events_in
+    lin["valid"] += cs.valid
+    lin["quarantined"] += cs.quarantined
+    lin["rows_written"] += cs.rows_written
+    lin["deletes"] += cs.deletes
+    lin["commits"].append(cs.to_json())
+    if commit:
+        manifest.commit()
+    return cs
+
+
+def replay(
+    wal_dir: str,
+    lake_dir: str,
+    config: Optional[EngineConfig] = None,
+    *,
+    segments_per_commit: Optional[int] = None,
+    max_commits: Optional[int] = None,
+) -> List[CommitStats]:
+    """Replay all unapplied WAL segments, one or more commits, until caught
+    up. Resumable: a rerun after any crash continues from the manifest."""
+    config = config or EngineConfig()
+    out = []
+    while max_commits is None or len(out) < max_commits:
+        cs = replay_once(
+            wal_dir, lake_dir, config, max_segments=segments_per_commit
+        )
+        if cs is None:
+            break
+        out.append(cs)
+    return out

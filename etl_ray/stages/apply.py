@@ -1,0 +1,107 @@
+"""Apply stage: per-shard delta writer (the stateful actor-pool stage).
+
+Used as ``ds.groupby("__shard").map_groups(ApplyGroup, ...)`` — the groupby
+is the ONE genuine all-to-all shuffle in the engine (hash-partition events by
+doc_id). Each group call receives every event routed to one shard
+(= partition × salt) for the current commit and:
+
+  1. sorts by sequence_number and collapses to the last event per doc_id
+     (LWW *within* the commit — the delta file is already deduped),
+  2. writes a sorted delta run to a DETERMINISTIC path
+     ``part=<k>/delta-<commit>-p<k>-s<salt>.parquet`` (idempotent overwrite
+     on replay — the reference's deterministic output path,
+     /root/reference/storage/rowwriter.go:180-187),
+  3. returns a one-row stats table (lineage + per-partition rows/sec).
+
+The quarantine shard instead writes ``_quarantine/<commit>.parquet`` keeping
+the ``__reason`` column (poison events preserved, never applied).
+
+Apply never reads the base — pure LSM delta write; merge cost is deferred to
+read/compaction. This keeps the hot path O(events) regardless of lake size.
+"""
+
+from __future__ import annotations
+
+import os
+import time
+
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+
+from etl_ray.config import QUARANTINE_SHARD, EngineConfig
+from etl_ray.stages.merge import lww_last_per_doc
+
+STATS_SCHEMA = pa.schema(
+    [
+        pa.field("shard", pa.int64()),
+        pa.field("part", pa.int64()),
+        pa.field("salt", pa.int64()),
+        pa.field("rows_in", pa.int64()),
+        pa.field("rows_out", pa.int64()),
+        pa.field("deletes", pa.int64()),
+        pa.field("max_seq", pa.int64()),
+        pa.field("file", pa.string()),
+        pa.field("wall_sec", pa.float64()),
+    ]
+)
+
+
+def _atomic_write(table: pa.Table, path: str) -> None:
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    tmp = path + ".tmp"
+    pq.write_table(table, tmp)
+    os.replace(tmp, path)
+
+
+class ApplyGroup:
+    """Callable class → Ray actor pool; construction (path roots, config)
+    happens once per actor, not once per group (reference: per-process init
+    state, SURVEY.md §2.6)."""
+
+    def __init__(self, lake_dir: str, commit_id: str, config: EngineConfig):
+        self.lake_dir = lake_dir
+        self.commit_id = commit_id
+        self.config = config
+
+    def __call__(self, group: pa.Table) -> pa.Table:
+        t0 = time.monotonic()
+        shard = group["__shard"][0].as_py()
+        rows_in = len(group)
+
+        if shard == QUARANTINE_SHARD:
+            rel = os.path.join("_quarantine", f"{self.commit_id}.parquet")
+            out = group.drop_columns(["__shard"]).sort_by(
+                [("sequence_number", "ascending")])
+            _atomic_write(out, os.path.join(self.lake_dir, rel))
+            return pa.table(
+                {
+                    "shard": [shard], "part": [-1], "salt": [0],
+                    "rows_in": [rows_in], "rows_out": [len(out)],
+                    "deletes": [0], "max_seq": [-1], "file": [rel],
+                    "wall_sec": [time.monotonic() - t0],
+                },
+                schema=STATS_SCHEMA,
+            )
+
+        part = shard // self.config.max_salt
+        salt = shard % self.config.max_salt
+        delta = group.drop_columns(["__reason", "__shard"])
+        delta = lww_last_per_doc(delta)
+        deletes = int(
+            pc.sum(pc.equal(delta["op"], "delete").fill_null(False)).as_py() or 0
+        )
+        max_seq = int(pc.max(delta["sequence_number"]).as_py())
+        rel = os.path.join(
+            f"part={part}", f"delta-{self.commit_id}-p{part}-s{salt}.parquet"
+        )
+        _atomic_write(delta, os.path.join(self.lake_dir, rel))
+        return pa.table(
+            {
+                "shard": [shard], "part": [part], "salt": [salt],
+                "rows_in": [rows_in], "rows_out": [len(delta)],
+                "deletes": [deletes], "max_seq": [max_seq], "file": [rel],
+                "wall_sec": [time.monotonic() - t0],
+            },
+            schema=STATS_SCHEMA,
+        )

@@ -1,0 +1,57 @@
+"""Vectorized last-writer-wins merge kernels (pure Arrow, no Python rows).
+
+The LWW contract (SURVEY.md §2.9): among all events/rows for a doc_id, the
+one with the max sequence_number wins; a winning ``delete`` removes the row.
+The reference's analog is downstream UUID dedup plus idempotent re-parse
+(/root/reference/parser/parser.go:157-176, storage/rowwriter.go:180-187).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+
+def lww_last_per_doc(table: pa.Table, *, id_col: str = "doc_id",
+                     seq_col: str = "sequence_number") -> pa.Table:
+    """Keep, per doc_id, the row with the largest sequence_number.
+
+    Sorts by (doc_id asc, seq asc) then filters to run boundaries — a single
+    Arrow sort + one vectorized compare; no per-row Python. Output is sorted
+    by doc_id (the on-disk order of delta/base files, enabling future
+    streaming sort-merge compaction).
+    """
+    if len(table) == 0:
+        return table
+    table = table.sort_by([(id_col, "ascending"), (seq_col, "ascending")])
+    ids = table[id_col].combine_chunks()
+    n = len(ids)
+    # run-boundary mask: row i is last of its doc iff ids[i] != ids[i+1]
+    neq = pc.not_equal(ids.slice(0, n - 1), ids.slice(1, n - 1))
+    mask = pa.chunked_array([neq.fill_null(True), pa.array([True])])
+    return table.filter(mask)
+
+
+def drop_tombstones(table: pa.Table, *, op_col: str = "op") -> pa.Table:
+    if op_col not in table.column_names or len(table) == 0:
+        return table
+    keep = pc.invert(pc.equal(table[op_col], "delete").fill_null(False))
+    return table.filter(keep)
+
+
+def merge_runs(tables: list, *, drop_deletes: bool,
+               id_col: str = "doc_id", seq_col: str = "sequence_number",
+               target_schema: pa.Schema = None) -> pa.Table:
+    """Merge base+delta runs for one partition: concat → LWW → (optionally)
+    drop tombstones. Inputs may be under older schema versions; they are
+    conformed to ``target_schema`` first (schema evolution on read)."""
+    from etl_ray.schema import conform
+
+    if target_schema is not None:
+        tables = [conform(t, target_schema) for t in tables]
+    merged = pa.concat_tables(tables, promote_options="default")
+    merged = lww_last_per_doc(merged, id_col=id_col, seq_col=seq_col)
+    if drop_deletes:
+        merged = drop_tombstones(merged)
+    return merged

@@ -1,0 +1,183 @@
+"""Atomic manifest: the lake's commit marker, watermarks and lineage.
+
+Exactly-once protocol (the analog of the reference's atomic-on-Close GCS
+object visibility + rows-count metadata, /root/reference/storage/
+rowwriter.go:83-171, and deterministic idempotent output paths,
+rowwriter.go:180-187):
+
+  1. Data files are written under ``lake/part=<k>/`` with DETERMINISTIC names
+     derived from (commit_id, partition, salt). A file is LIVE only if the
+     current manifest lists it; orphans from crashed runs are invisible and
+     are overwritten byte-for-byte when the commit is replayed.
+  2. A commit writes ``_manifest/v<N>.json`` via tmp + os.replace, then flips
+     ``_manifest/CURRENT`` via tmp + os.replace. A crash between the two
+     leaves CURRENT at N-1; the rerun recomputes the identical v<N>.json.
+  3. ``applied_through_segment`` is the global watermark: replay resumes from
+     the first segment after it (reference: Gardener job tracker state,
+     /root/reference/active/poller.go:169-191).
+
+Lineage counters keep the reference's row-stats invariant
+accepted == committed + failed(quarantined) (/root/reference/etl/etl.go:23-35).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from dataclasses import dataclass, field
+from typing import Dict, List, Optional
+
+import pyarrow as pa
+
+from etl_ray.schema import schema_from_hex, schema_to_hex
+
+MANIFEST_DIR = "_manifest"
+
+
+@dataclass
+class PartitionState:
+    files: List[str] = field(default_factory=list)  # lake-relative paths
+    watermark_seq: int = -1  # max sequence_number applied to this partition
+    base_gen: int = 0
+
+    def to_json(self) -> dict:
+        return {
+            "files": self.files,
+            "watermark_seq": self.watermark_seq,
+            "base_gen": self.base_gen,
+        }
+
+    @staticmethod
+    def from_json(d: dict) -> "PartitionState":
+        return PartitionState(
+            files=list(d["files"]),
+            watermark_seq=int(d["watermark_seq"]),
+            base_gen=int(d["base_gen"]),
+        )
+
+
+def _empty_lineage() -> dict:
+    return {
+        "events_in": 0,
+        "valid": 0,
+        "quarantined": 0,
+        "rows_written": 0,
+        "deletes": 0,
+        "commits": [],
+    }
+
+
+@dataclass
+class Manifest:
+    lake_dir: str
+    version: int = 0
+    num_partitions: int = 32
+    schema_hex: Optional[str] = None
+    applied_through_segment: int = -1
+    partitions: Dict[int, PartitionState] = field(default_factory=dict)
+    quarantine_files: List[str] = field(default_factory=list)
+    lineage: dict = field(default_factory=_empty_lineage)
+
+    # ------------------------------------------------------------------ io
+    @property
+    def manifest_dir(self) -> str:
+        return os.path.join(self.lake_dir, MANIFEST_DIR)
+
+    @property
+    def commit_id(self) -> str:
+        """Commit id of the NEXT commit built on top of this manifest."""
+        return f"c{self.version + 1:06d}"
+
+    @property
+    def schema(self) -> Optional[pa.Schema]:
+        return schema_from_hex(self.schema_hex) if self.schema_hex else None
+
+    def set_schema(self, schema: pa.Schema) -> None:
+        self.schema_hex = schema_to_hex(schema)
+
+    def partition(self, k: int) -> PartitionState:
+        if k not in self.partitions:
+            self.partitions[k] = PartitionState()
+        return self.partitions[k]
+
+    def live_files(self) -> List[str]:
+        out: List[str] = []
+        for p in self.partitions.values():
+            out.extend(p.files)
+        return out
+
+    def to_json(self) -> dict:
+        return {
+            "version": self.version,
+            "num_partitions": self.num_partitions,
+            "schema_hex": self.schema_hex,
+            "applied_through_segment": self.applied_through_segment,
+            "partitions": {str(k): v.to_json() for k, v in self.partitions.items()},
+            "quarantine_files": self.quarantine_files,
+            "lineage": self.lineage,
+        }
+
+    @staticmethod
+    def load(lake_dir: str) -> "Manifest":
+        """Load the committed manifest, or a fresh v0 if none exists."""
+        current = os.path.join(lake_dir, MANIFEST_DIR, "CURRENT")
+        if not os.path.exists(current):
+            return Manifest(lake_dir=lake_dir)
+        with open(current) as f:
+            version = int(f.read().strip())
+        with open(os.path.join(lake_dir, MANIFEST_DIR, f"v{version}.json")) as f:
+            d = json.load(f)
+        m = Manifest(
+            lake_dir=lake_dir,
+            version=d["version"],
+            num_partitions=d["num_partitions"],
+            schema_hex=d["schema_hex"],
+            applied_through_segment=d["applied_through_segment"],
+            partitions={
+                int(k): PartitionState.from_json(v) for k, v in d["partitions"].items()
+            },
+            quarantine_files=list(d.get("quarantine_files", [])),
+            lineage=d.get("lineage", _empty_lineage()),
+        )
+        return m
+
+    def commit(self) -> None:
+        """Atomically publish this manifest as the new current version.
+
+        Caller must have already bumped ``self.version`` to the new version
+        number and updated partitions/watermarks/lineage.
+        """
+        os.makedirs(self.manifest_dir, exist_ok=True)
+        path = os.path.join(self.manifest_dir, f"v{self.version}.json")
+        tmp = path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(self.to_json(), f, indent=1, sort_keys=True)
+            f.flush()
+            os.fsync(f.fileno())
+        os.replace(tmp, path)
+        cur = os.path.join(self.manifest_dir, "CURRENT")
+        tmp = cur + ".tmp"
+        with open(tmp, "w") as f:
+            f.write(str(self.version))
+            f.flush()
+            os.fsync(f.fileno())
+        os.replace(tmp, cur)
+
+    # ------------------------------------------------------------- utility
+    def gc(self) -> List[str]:
+        """Delete data files not referenced by the current manifest
+        (orphans from crashed, never-committed runs). Returns removed paths."""
+        live = set(self.live_files()) | set(self.quarantine_files)
+        removed = []
+        for root, _dirs, files in os.walk(self.lake_dir):
+            for fn in files:
+                full = os.path.join(root, fn)
+                rel = os.path.relpath(full, self.lake_dir)
+                if rel.startswith(MANIFEST_DIR):
+                    continue
+                if not fn.endswith(".parquet"):
+                    continue
+                if rel not in live:
+                    os.remove(full)
+                    removed.append(rel)
+        return removed

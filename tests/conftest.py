@@ -1,0 +1,40 @@
+import os
+
+import pytest
+
+
+@pytest.fixture(scope="session")
+def ray_session():
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(
+            address="local",
+            num_cpus=4,
+            include_dashboard=False,
+            ignore_reinit_error=True,
+            logging_level="ERROR",
+        )
+    from ray.data import DataContext
+
+    ctx = DataContext.get_current()
+    ctx.enable_progress_bars = False
+    yield
+    ray.shutdown()
+
+
+@pytest.fixture()
+def tmp_lake(tmp_path):
+    d = tmp_path / "lake"
+    d.mkdir()
+    return str(d)
+
+
+@pytest.fixture()
+def tmp_wal(tmp_path):
+    d = tmp_path / "wal"
+    d.mkdir()
+    return str(d)
+
+
+SF_DIR = os.environ.get("GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
