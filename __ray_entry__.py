@@ -1,44 +1,501 @@
-"""Driver contract for the graft builder (Ray Data target).
+"""Driver contract: entry() smoke, queries() vs oracle_sql() parity.
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+Ray is initialised by the driver BEFORE this module is imported; nothing here
+(or in etl_ray) calls ray.init()/ray.shutdown().
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+The cdc_* queries run the FULL engine end-to-end (changelog derived
+deterministically from the events table → validate → shuffle → actor-pool
+apply → manifest commit → merge-on-read), and the SQL oracle recomputes the
+final lake state with an ANSI window query — so the driver's value-hash
+check covers LWW upserts, deletes, exactly-once resume, salting, compaction
+and schema evolution, not just per-batch transforms.
 """
 
 from __future__ import annotations
 
+import os
 from collections.abc import Callable
 from typing import Any
 
+SF_SMOKE = "/root/testdata/sf0.001"
 
+# DuckDB reproduction of etl_ray.ops.dedup/etl_ray.functions.text constants
+_STOP_PAT = r"\b(?:the|a|and|of|to)\b"
+_BPE_PAT = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]+"
+_EMB_THRESHOLD = 0.4
+_DECODER_SALT = "etl-ray-fake-decoder"
+
+_CHANGELOG_CTE = """
+WITH c AS (
+  SELECT CAST(user_id AS VARCHAR) AS doc_id,
+         event_id AS last_seq, value, event_type,
+         CASE WHEN event_type = 'error' THEN 'delete' ELSE 'insert' END AS op
+  FROM events
+), r AS (
+  SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY last_seq DESC) rn
+  FROM c
+)
+SELECT doc_id, last_seq, value, event_type
+FROM r WHERE rn = 1 AND op <> 'delete'
+ORDER BY doc_id
+"""
+
+
+# --------------------------------------------------------------- cdc queries
+def _replay_events(sf_dir: str, *, tag: str, quarantine_over=None,
+                   part_fn=None, num_partitions: int = 8,
+                   with_props_from=None, salt_threshold=None,
+                   segments_per_commit=None, crash_resume: bool = False,
+                   do_compact: bool = False):
+    from etl_ray.config import EngineConfig
+    from etl_ray.pipelines import analogs as A
+    from etl_ray.pipelines.compaction import compact
+    from etl_ray.pipelines.replay import replay, replay_once
+
+    wal, lake = A.fresh_dirs(tag)
+    A.events_to_changelog(sf_dir, wal, with_props_from=with_props_from)
+    kw = dict(
+        num_partitions=num_partitions,
+        apply_concurrency=None,
+        payload=A.events_payload(quarantine_over),
+    )
+    if part_fn is not None:
+        kw["part_fn"] = part_fn
+    if salt_threshold is not None:
+        kw["salt_threshold"] = salt_threshold
+        kw["max_salt"] = 4
+    cfg = EngineConfig(**kw)
+    if crash_resume:
+        replay_once(wal, lake, cfg, max_segments=1)
+        # simulated crash: data written for the next commit, manifest not
+        # flipped; the rerun must converge to the identical state
+        replay_once(wal, lake, cfg, max_segments=1, commit=False)
+    replay(wal, lake, cfg, segments_per_commit=segments_per_commit)
+    if do_compact:
+        compact(lake, cfg, force=True)
+    return wal, lake, cfg
+
+
+def _q_cdc_replay_lww(sf_dir: str):
+    from etl_ray.pipelines import analogs as A
+
+    _, lake, _ = _replay_events(sf_dir, tag="lww")
+    return A.lake_final_state(lake)
+
+
+def _q_cdc_replay_resume(sf_dir: str):
+    from etl_ray.pipelines import analogs as A
+
+    _, lake, _ = _replay_events(sf_dir, tag="resume", crash_resume=True,
+                                segments_per_commit=1)
+    return A.lake_final_state(lake)
+
+
+def _q_cdc_replay_salted(sf_dir: str):
+    from etl_ray.pipelines import analogs as A
+
+    _, lake, _ = _replay_events(sf_dir, tag="salted", salt_threshold=1,
+                                segments_per_commit=1)
+    return A.lake_final_state(lake)
+
+
+def _q_cdc_replay_compacted(sf_dir: str):
+    from etl_ray.pipelines import analogs as A
+
+    _, lake, _ = _replay_events(sf_dir, tag="compacted", do_compact=True,
+                                segments_per_commit=1)
+    return A.lake_final_state(lake)
+
+
+def _q_cdc_replay_evolution(sf_dir: str):
+    from etl_ray.pipelines import analogs as A
+
+    _, lake, _ = _replay_events(sf_dir, tag="evo", with_props_from=2)
+    return A.lake_final_state(lake)
+
+
+def _q_cdc_quarantine(sf_dir: str):
+    from etl_ray.lake import read_quarantine
+
+    _, lake, _ = _replay_events(sf_dir, tag="quar", quarantine_over=300.0)
+    q = read_quarantine(lake).to_pandas()
+    q = q.rename(columns={"sequence_number": "event_id"})
+    return (
+        q[["event_id", "doc_id", "value"]]
+        .sort_values("event_id")
+        .reset_index(drop=True)
+    )
+
+
+def _q_cdc_watermarks(sf_dir: str):
+    import pandas as pd
+
+    from etl_ray.config import modulo_part
+    from etl_ray.state.manifest import Manifest
+
+    _, lake, _ = _replay_events(sf_dir, tag="wm", part_fn=modulo_part)
+    m = Manifest.load(lake)
+    counts = {}
+    for c in m.lineage["commits"]:
+        for part, pp in c.get("per_partition", {}).items():
+            counts[int(part)] = counts.get(int(part), 0) + pp["rows"]
+    rows = [
+        {"part": k, "watermark_seq": p.watermark_seq, "n_events": counts.get(k, 0)}
+        for k, p in sorted(m.partitions.items())
+    ]
+    return pd.DataFrame(rows)
+
+
+# --------------------------------------------------------------- text / dedup
+def _q_dedup_exact(sf_dir: str):
+    import ray.data as rd
+
+    from etl_ray.ops.dedup import exact_dedup
+
+    ds = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                         columns=["doc_id", "text"])
+    out = exact_dedup(ds).to_pandas()
+    return out.sort_values("content_hash").reset_index(drop=True)
+
+
+def _q_dedup_minhash(sf_dir: str):
+    import ray.data as rd
+
+    from etl_ray.ops.dedup import minhash_lsh_candidates
+
+    ds = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                         columns=["doc_id", "text"])
+    out = minhash_lsh_candidates(ds, concurrency=2).to_pandas()
+    return out.sort_values(["id_a", "id_b"]).reset_index(drop=True)
+
+
+def _q_dedup_simhash(sf_dir: str):
+    import ray.data as rd
+
+    from etl_ray.ops.dedup import simhash_candidates
+
+    ds = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                         columns=["doc_id", "text"])
+    out = simhash_candidates(ds, max_hamming=10, concurrency=2).to_pandas()
+    return out.sort_values(["id_a", "id_b"]).reset_index(drop=True)
+
+
+def _q_dedup_embedding(sf_dir: str):
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from etl_ray.ops.similarity import embedding_near_dups
+
+    path = os.path.join(sf_dir, "embeddings.parquet")
+    idx = pq.read_table(path, columns=["vec_id", "embedding"])
+    import numpy as np
+
+    ids = idx["vec_id"].to_numpy(zero_copy_only=False)
+    M = np.array(idx["embedding"].to_pylist(), dtype=np.float64)
+    ds = rd.read_parquet(path, columns=["vec_id", "embedding"])
+    out = embedding_near_dups(ds, ids, M, threshold=_EMB_THRESHOLD,
+                              concurrency=2).to_pandas()
+    out["cosine"] = out["cosine"].round(4)
+    return out.sort_values(["id_a", "id_b"]).reset_index(drop=True)
+
+
+def _q_dedup_lsh_embedding(sf_dir: str):
+    import ray.data as rd
+
+    from etl_ray.ops.similarity import lsh_bucketed_pairs
+
+    ds = rd.read_parquet(os.path.join(sf_dir, "embeddings.parquet"),
+                         columns=["vec_id", "embedding"])
+    out = lsh_bucketed_pairs(ds, threshold=_EMB_THRESHOLD, n_planes=6,
+                             concurrency=2).to_pandas()
+    out["cosine"] = out["cosine"].round(4)
+    return out.sort_values(["id_a", "id_b"]).reset_index(drop=True)
+
+
+def _q_ann_topk(sf_dir: str):
+    import numpy as np
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from etl_ray.ops.similarity import cosine_topk
+
+    path = os.path.join(sf_dir, "embeddings.parquet")
+    qt = pq.read_table(path, columns=["vec_id", "embedding"],
+                       filters=[("vec_id", "<", 4)])
+    qids = qt["vec_id"].to_numpy(zero_copy_only=False)
+    Q = np.array(qt["embedding"].to_pylist(), dtype=np.float64)
+
+    import pyarrow.compute as pc
+
+    ds = rd.read_parquet(path, columns=["vec_id", "embedding"]).map_batches(
+        lambda t: t.filter(pc.greater_equal(t["vec_id"], 4)),
+        batch_format="pyarrow",
+    )
+    out = cosine_topk(ds, qids, Q, k=10, concurrency=2)
+    out["score"] = out["score"].round(4)
+    return out[["query_id", "vec_id", "score", "rank"]].reset_index(drop=True)
+
+
+def _q_text_tokens(sf_dir: str):
+    import ray.data as rd
+
+    from etl_ray.ops.textops import token_counts
+
+    ds = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                         columns=["doc_id", "text"])
+    return (
+        token_counts(ds).to_pandas().sort_values("doc_id").reset_index(drop=True)
+    )
+
+
+def _q_text_quality(sf_dir: str):
+    import ray.data as rd
+
+    from etl_ray.ops.textops import quality_scores
+
+    ds = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                         columns=["doc_id", "text"])
+    out = quality_scores(ds).to_pandas()
+    for c in ("avg_word_len", "stop_ratio", "punct_ratio"):
+        out[c] = out[c].round(6)
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+def _q_doc_fingerprint(sf_dir: str):
+    import ray.data as rd
+
+    from etl_ray.ops.textops import fingerprints
+
+    ds = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                         columns=["doc_id", "text"])
+    return (
+        fingerprints(ds).to_pandas().sort_values("doc_id").reset_index(drop=True)
+    )
+
+
+def _q_lang_id(sf_dir: str):
+    import ray.data as rd
+
+    from etl_ray.ops.textops import language_id
+
+    ds = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                         columns=["doc_id", "text"])
+    return (
+        language_id(ds).to_pandas().sort_values("doc_id").reset_index(drop=True)
+    )
+
+
+def _q_multimodal(sf_dir: str):
+    import ray.data as rd
+
+    from etl_ray.ops.multimodal import decode_images, to_binary_payload
+
+    ds = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                         columns=["doc_id", "text"])
+    payloads = ds.map_batches(to_binary_payload, batch_format="pyarrow")
+    out = decode_images(payloads, concurrency=2).to_pandas()
+    out["feature_hex"] = out["feature"].map(lambda b: b.hex())
+    out = out.drop(columns=["feature"])
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+# ------------------------------------------------------------ driver contract
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship: full CDC replay of the events-derived changelog at
+    sf0.001 → final lake state."""
+    return _q_cdc_replay_lww(SF_SMOKE)
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
+    from etl_ray.pipelines import analogs as A
 
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        # CDC engine end-to-end (SURVEY.md §2.2, §2.9, §2.10, §7)
+        "cdc_replay_lww": _q_cdc_replay_lww,
+        "cdc_replay_resume": _q_cdc_replay_resume,
+        "cdc_replay_salted": _q_cdc_replay_salted,
+        "cdc_replay_compacted": _q_cdc_replay_compacted,
+        "cdc_replay_evolution": _q_cdc_replay_evolution,
+        "cdc_quarantine": _q_cdc_quarantine,
+        "cdc_watermarks": _q_cdc_watermarks,
+        # parser analogs (SURVEY.md §2.3-2.5, §2.8)
+        "switch_group_agg": A.switch_group_agg,
+        "last_event_summary": A.last_event_summary,
+        "thin_events": A.thin_events,
+        "fanout_directions": A.fanout_directions,
+        "path_metadata": A.path_metadata,
+        "synthetic_uuids": A.synthetic_uuids,
+        # training-data ops
+        "dedup_exact": _q_dedup_exact,
+        "dedup_minhash_lsh": _q_dedup_minhash,
+        "dedup_simhash": _q_dedup_simhash,
+        "dedup_embedding_cosine": _q_dedup_embedding,
+        "dedup_lsh_embedding": _q_dedup_lsh_embedding,
+        "ann_cosine_topk": _q_ann_topk,
+        "text_token_counts": _q_text_tokens,
+        "text_quality": _q_text_quality,
+        "doc_fingerprint": _q_doc_fingerprint,
+        "lang_id": _q_lang_id,
+        "multimodal_decode": _q_multimodal,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    lww = _CHANGELOG_CTE
+    evo = """
+WITH c AS (
+  SELECT CAST(user_id AS VARCHAR) AS doc_id,
+         event_id AS last_seq, value, event_type,
+         CASE WHEN event_type = 'error' THEN 'delete' ELSE 'insert' END AS op,
+         CASE WHEN event_id >= 8000
+              THEN CAST(json_extract(props, '$.k') AS BIGINT) END AS k
+  FROM events
+), r AS (
+  SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY last_seq DESC) rn
+  FROM c
+)
+SELECT doc_id, last_seq, value, event_type, k
+FROM r WHERE rn = 1 AND op <> 'delete'
+ORDER BY doc_id
+"""
+    return {
+        "cdc_replay_lww": lww,
+        "cdc_replay_resume": lww,
+        "cdc_replay_salted": lww,
+        "cdc_replay_compacted": lww,
+        "cdc_replay_evolution": evo,
+        "cdc_quarantine": """
+SELECT event_id, CAST(user_id AS VARCHAR) AS doc_id, value
+FROM events WHERE event_type <> 'error' AND value > 300
+ORDER BY event_id
+""",
+        "cdc_watermarks": """
+SELECT user_id % 8 AS part, max(event_id) AS watermark_seq,
+       count(*) AS n_events
+FROM events GROUP BY 1 ORDER BY 1
+""",
+        "switch_group_agg": """
+SELECT user_id, date_trunc('hour', ts) AS hour, count(*) AS n_samples,
+       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS DOUBLE) / 100.0
+         AS sum_value
+FROM events GROUP BY 1, 2 ORDER BY 1, 2
+""",
+        "last_event_summary": """
+SELECT user_id, arg_max(value, event_id) AS last_value,
+       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS DOUBLE)
+         / (100.0 * count(*)) AS mean_value,
+       min(value) AS min_value,
+       max(value) AS max_value, count(*) AS n_events
+FROM events GROUP BY user_id ORDER BY user_id
+""",
+        "thin_events": """
+WITH o AS (
+  SELECT user_id, event_id, value,
+         row_number() OVER (PARTITION BY user_id ORDER BY event_id) AS rn,
+         count(*) OVER (PARTITION BY user_id) AS cnt
+  FROM events
+)
+SELECT user_id, event_id, value, rn FROM o
+WHERE (rn - 1) % 10 = 0 OR rn = cnt
+ORDER BY user_id, event_id
+""",
+        "fanout_directions": """
+SELECT event_id, user_id, 'c2s' AS direction, value * 0.5 AS dir_value
+FROM events WHERE event_type = 'purchase'
+UNION ALL
+SELECT event_id, user_id, 's2c' AS direction, value AS dir_value
+FROM events WHERE event_type = 'purchase'
+ORDER BY event_id, direction
+""",
+        "path_metadata": """
+SELECT doc_id, CAST(regexp_extract(source, 'src(\\d+)', 1) AS BIGINT)
+         AS src_num, lang, n_chars
+FROM documents ORDER BY doc_id
+""",
+        "synthetic_uuids": """
+SELECT event_id, user_id,
+       md5(CAST(user_id AS VARCHAR) || '|' || CAST(event_id AS VARCHAR))
+         AS uuid
+FROM events ORDER BY event_id
+""",
+        "dedup_exact": """
+SELECT md5(text) AS content_hash, min(doc_id) AS doc_id
+FROM documents GROUP BY 1 ORDER BY 1
+""",
+        "dedup_embedding_cosine": f"""
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                    CAST(b.embedding AS DOUBLE[])), 4)
+         AS cosine
+FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                             CAST(b.embedding AS DOUBLE[]))
+      >= {_EMB_THRESHOLD}
+ORDER BY 1, 2
+""",
+        "ann_cosine_topk": """
+WITH q AS (SELECT vec_id AS query_id, embedding FROM embeddings
+           WHERE vec_id < 4),
+     s AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id >= 4),
+     scored AS (
+       SELECT q.query_id, s.vec_id,
+              list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+                                     CAST(s.embedding AS DOUBLE[])) AS cos
+       FROM q CROSS JOIN s),
+     ranked AS (
+       SELECT *, row_number() OVER (
+         PARTITION BY query_id ORDER BY cos DESC, vec_id) AS rank
+       FROM scored)
+SELECT query_id, vec_id, round(cos, 4) AS score, rank
+FROM ranked WHERE rank <= 10 ORDER BY query_id, rank
+""",
+        "text_token_counts": f"""
+SELECT doc_id,
+       CASE WHEN trim(text) = '' THEN 0
+            ELSE len(regexp_split_to_array(trim(text), '\\s+')) END
+         AS n_ws_tokens,
+       len(regexp_extract_all(text, '{_BPE_PAT}')) AS n_bpe_tokens
+FROM documents ORDER BY doc_id
+""",
+        "text_quality": f"""
+SELECT doc_id,
+       length(text) AS n_chars,
+       CASE WHEN trim(text) = '' THEN 0
+            ELSE len(regexp_split_to_array(trim(text), '\\s+')) END
+         AS n_words,
+       round((length(text) - greatest(
+               CASE WHEN trim(text) = '' THEN 0
+                    ELSE len(regexp_split_to_array(trim(text), '\\s+')) END
+               - 1, 0))
+             / CAST(greatest(
+               CASE WHEN trim(text) = '' THEN 0
+                    ELSE len(regexp_split_to_array(trim(text), '\\s+')) END,
+               1) AS DOUBLE), 6) AS avg_word_len,
+       round(len(regexp_extract_all(lower(text), '{_STOP_PAT}'))
+             / CAST(greatest(
+               CASE WHEN trim(text) = '' THEN 0
+                    ELSE len(regexp_split_to_array(trim(text), '\\s+')) END,
+               1) AS DOUBLE), 6) AS stop_ratio,
+       round(len(regexp_extract_all(text, '[^\\w\\s]'))
+             / CAST(greatest(length(text), 1) AS DOUBLE), 6) AS punct_ratio
+FROM documents ORDER BY doc_id
+""",
+        "doc_fingerprint": """
+SELECT doc_id,
+       md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')))
+         AS fingerprint
+FROM documents ORDER BY doc_id
+""",
+        "multimodal_decode": f"""
+SELECT doc_id,
+       CAST(length(text) AS BIGINT) AS payload_bytes,
+       1 + (CAST(('0x' || substr(md5('{_DECODER_SALT}' || text), 1, 2))
+                 AS BIGINT) % 64) AS width,
+       1 + (CAST(('0x' || substr(md5('{_DECODER_SALT}' || text), 3, 2))
+                 AS BIGINT) % 64) AS height,
+       md5('{_DECODER_SALT}' || text) AS feature_hex
+FROM documents ORDER BY doc_id
+""",
+        # lang_id, dedup_minhash_lsh, dedup_simhash, dedup_lsh_embedding:
+        # heuristic / sketch-based — not SQL-expressible; rows-only check.
+    }

@@ -1,0 +1,208 @@
+"""Benchmark harness.
+
+Headline: end-to-end CDC replay (change-events/sec applied) of a seeded
+synthetic tokens changelog sized by the scale factor, through the full
+engine: read → validate → hash-partition shuffle → actor-pool apply →
+manifest commit. Plus compaction, merge-on-read, incremental catch-up, and
+the training-data ops over the driver tables.
+
+    GRAFT_SF_DIR=/root/testdata/sf0.1 RAY_GRAFT_CPUS=32 python bench.py
+    python bench.py --scaling     # same input at 8 and 32 CPUs, fresh
+                                  # processes; reports scaling efficiency
+
+Prints ONE JSON line.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import subprocess
+import sys
+import tempfile
+import time
+
+SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+NCPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+EVENTS_PER_SF = 20_000_000  # sf0.1 → 2M events (~1 GB of token payload)
+BENCH_ROOT = "/tmp/etl_ray_bench"
+
+
+def sf_of(sf_dir: str) -> float:
+    base = os.path.basename(os.path.normpath(sf_dir))
+    try:
+        return float(base.replace("sf", ""))
+    except ValueError:
+        return 0.1
+
+
+def ensure_wal(sf: float) -> tuple[str, int]:
+    """Deterministic cached changelog for this scale factor."""
+    from etl_ray.sources.generator import generate_changelog
+
+    n_events = max(int(EVENTS_PER_SF * sf), 10_000)
+    n_segments = max(8, min(64, n_events // 100_000))
+    wal = os.path.join(BENCH_ROOT, f"sf{sf}", "wal")
+    stamp = os.path.join(wal, "_params.json")
+    params = {"n_events": n_events, "n_segments": n_segments, "seed": 42,
+              "version": 2}
+    if os.path.exists(stamp):
+        with open(stamp) as f:
+            if json.load(f) == params:
+                return wal, n_events
+        shutil.rmtree(wal)
+    os.makedirs(wal, exist_ok=True)
+    generate_changelog(wal, n_events=n_events, n_segments=n_segments,
+                       n_base_docs=n_events // 20, seed=42,
+                       min_tok=16, max_tok=256)
+    with open(stamp, "w") as f:
+        json.dump(params, f)
+    return wal, n_events
+
+
+def warm_cache(path: str) -> None:
+    for root, _d, files in os.walk(path):
+        for fn in files:
+            with open(os.path.join(root, fn), "rb") as f:
+                while f.read(1 << 24):
+                    pass
+
+
+def run_bench() -> dict:
+    import ray
+
+    ray.init(address="local", num_cpus=NCPUS, include_dashboard=False,
+             ignore_reinit_error=True, logging_level="ERROR")
+    from ray.data import DataContext
+
+    ctx = DataContext.get_current()
+    ctx.enable_progress_bars = False
+
+    from etl_ray.config import EngineConfig
+    from etl_ray.lake import read_lake
+    from etl_ray.pipelines.compaction import compact
+    from etl_ray.pipelines.replay import replay
+    from etl_ray.sources.generator import generate_changelog
+
+    sf = sf_of(SF_DIR)
+    wal, n_events = ensure_wal(sf)
+    warm_cache(wal)
+    lake = tempfile.mkdtemp(prefix="etl_ray_benchlake_")
+    cfg = EngineConfig(num_partitions=64, max_salt=8, batch_size=16384)
+
+    queries: dict[str, float] = {}
+
+    t0 = time.monotonic()
+    commits = replay(wal, lake, cfg)
+    replay_sec = time.monotonic() - t0
+    queries["cdc_replay"] = round(replay_sec, 3)
+    applied = sum(c.events_in for c in commits)
+
+    t0 = time.monotonic()
+    compact(lake, cfg, force=True)
+    queries["compaction"] = round(time.monotonic() - t0, 3)
+
+    t0 = time.monotonic()
+    n_live = read_lake(lake).count()
+    queries["read_merge"] = round(time.monotonic() - t0, 3)
+
+    # incremental catch-up: +5% new events arriving after the bulk load
+    inc = max(n_events // 20, 1000)
+    generate_changelog(wal, n_events=inc, n_segments=2,
+                       n_base_docs=n_events // 20, seed=43,
+                       start_sequence=n_events,
+                       start_segment=1_000)
+    t0 = time.monotonic()
+    replay(wal, lake, cfg)
+    queries["cdc_incremental"] = round(time.monotonic() - t0, 3)
+    # drop the incremental segments so reruns see a pristine cached WAL
+    for fn in os.listdir(wal):
+        if fn.startswith("seg-01"):
+            os.remove(os.path.join(wal, fn))
+
+    # training-data ops over the driver tables
+    import ray.data as rd
+
+    docs_path = os.path.join(SF_DIR, "documents.parquet")
+    emb_path = os.path.join(SF_DIR, "embeddings.parquet")
+    if os.path.exists(docs_path):
+        from etl_ray.ops.dedup import exact_dedup, minhash_lsh_candidates
+        from etl_ray.ops.textops import quality_scores
+
+        t0 = time.monotonic()
+        exact_dedup(rd.read_parquet(docs_path, columns=["doc_id", "text"])
+                    ).count()
+        queries["dedup_exact"] = round(time.monotonic() - t0, 3)
+
+        t0 = time.monotonic()
+        minhash_lsh_candidates(
+            rd.read_parquet(docs_path, columns=["doc_id", "text"]),
+            concurrency=max(2, NCPUS - 2)).count()
+        queries["dedup_minhash_lsh"] = round(time.monotonic() - t0, 3)
+
+        t0 = time.monotonic()
+        quality_scores(rd.read_parquet(docs_path, columns=["doc_id", "text"])
+                       ).count()
+        queries["text_quality"] = round(time.monotonic() - t0, 3)
+
+    if os.path.exists(emb_path):
+        import numpy as np
+        import pyarrow.parquet as pq
+
+        from etl_ray.ops.similarity import cosine_topk
+
+        qt = pq.read_table(emb_path, columns=["vec_id", "embedding"]).slice(0, 16)
+        Q = np.array(qt["embedding"].to_pylist(), dtype=np.float64)
+        t0 = time.monotonic()
+        cosine_topk(rd.read_parquet(emb_path, columns=["vec_id", "embedding"]),
+                    qt["vec_id"].to_numpy(zero_copy_only=False), Q, k=10,
+                    concurrency=max(2, NCPUS - 2))
+        queries["ann_cosine_topk"] = round(time.monotonic() - t0, 3)
+
+    shutil.rmtree(lake, ignore_errors=True)
+    ray.shutdown()
+    return {
+        "metric": "cdc_replay_wall_sec",
+        "value": round(replay_sec, 3),
+        "unit": "sec",
+        "queries": queries,
+        "sf": sf,
+        "num_cpus": NCPUS,
+        "events_applied": applied,
+        "events_per_sec": round(applied / replay_sec, 1),
+        "rows_live": n_live,
+    }
+
+
+def run_scaling() -> dict:
+    def run(ncpu: int) -> dict:
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
+        out = subprocess.run(
+            [sys.executable, os.path.abspath(__file__)], env=env,
+            capture_output=True, text=True, check=True,
+            cwd=os.path.dirname(os.path.abspath(__file__)),
+        ).stdout
+        return json.loads(out.strip().splitlines()[-1])
+
+    lo, hi = 8, 32
+    r_lo, r_hi = run(lo), run(hi)
+    eff = (r_lo["value"] / r_hi["value"]) / (hi / lo)
+    return {
+        "metric": "scaling_efficiency",
+        "value": round(eff, 3),
+        "unit": "ratio",
+        "sec_8": r_lo["value"],
+        "sec_32": r_hi["value"],
+        "events_per_sec_8": r_lo["events_per_sec"],
+        "events_per_sec_32": r_hi["events_per_sec"],
+        "sf": r_lo["sf"],
+        "queries": {"cpus8": r_lo["queries"], "cpus32": r_hi["queries"]},
+    }
+
+
+if __name__ == "__main__":
+    if "--scaling" in sys.argv:
+        print(json.dumps(run_scaling()))
+    else:
+        print(json.dumps(run_bench()))

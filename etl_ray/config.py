@@ -28,21 +28,37 @@ CONTROL_COLUMNS = ("op", "doc_id", "sequence_number")
 VALID_OPS = ("insert", "update", "delete")
 
 
-def crc32_part(doc_ids: pa.Array, num_partitions: int) -> np.ndarray:
-    """Deterministic partition assignment hash(doc_id) % P.
+def hashed_part(doc_ids: pa.Array, num_partitions: int) -> np.ndarray:
+    """Deterministic vectorized partition assignment hash(doc_id) % P.
 
-    crc32 is stable across processes / Python versions (unlike builtin
-    ``hash``), which the resume / exactly-once protocol requires: a replayed
-    commit must route every event to the same partition it chose before the
-    crash. Null doc_ids get partition 0 (they are quarantined upstream).
+    Uses ``pandas.util.hash_array`` (SipHash-1-3 with a fixed key): stable
+    across processes and runs — required by the resume / exactly-once
+    protocol (a replayed commit must route every event to the partition it
+    chose before the crash) — and vectorized (no Python loop per row).
+    Null doc_ids get partition 0 (they are quarantined upstream).
     """
+    import pandas as pd
+
+    vals = doc_ids.to_numpy(zero_copy_only=False)
+    if vals.dtype == object:
+        mask = pd.isna(vals)
+        if mask.any():
+            vals = vals.copy()
+            vals[mask] = ""
+        h = pd.util.hash_array(vals.astype("U")) % num_partitions
+        out = h.astype(np.int64)
+        out[mask] = 0
+        return out
+    return (pd.util.hash_array(vals) % num_partitions).astype(np.int64)
+
+
+def crc32_part(doc_ids: pa.Array, num_partitions: int) -> np.ndarray:
+    """crc32-based partition fn: slower (Python loop) but stable across
+    library versions forever; use when a lake must survive pandas upgrades."""
     out = np.empty(len(doc_ids), dtype=np.int64)
-    for i, v in enumerate(doc_ids):
-        s = v.as_py() if hasattr(v, "as_py") else v
-        if s is None:
-            out[i] = 0
-        else:
-            out[i] = zlib.crc32(str(s).encode("utf-8")) % num_partitions
+    for i, v in enumerate(doc_ids.to_pylist()):
+        out[i] = 0 if v is None else zlib.crc32(
+            str(v).encode("utf-8")) % num_partitions
     return out
 
 
@@ -57,33 +73,32 @@ def modulo_part(doc_ids: pa.Array, num_partitions: int) -> np.ndarray:
 class PayloadSpec:
     """Describes the payload columns and their validity rules.
 
-    ``validate(table) -> (reason: np.ndarray[object])`` returns a per-row
-    quarantine reason (None for valid rows). Payload validity is only
-    enforced for insert/update ops; deletes carry null payloads by design
-    (FIXTURES.md F2).
+    ``validate(table, upsert_mask) -> list[(mask, reason)]`` returns boolean
+    row masks with a quarantine reason each — fully vectorized, no per-row
+    Python. Payload validity is only enforced for insert/update ops; deletes
+    carry null payloads by design (FIXTURES.md F2). Masks are applied in
+    order; later masks win on overlap.
     """
 
     name: str = "generic"
     # Arrow schema of payload columns (excludes control columns).
     payload_schema: Optional[pa.Schema] = None
-    # fn(table, upsert_mask: np.ndarray[bool]) -> np.ndarray[object] of reasons
+    # fn(table, upsert_mask) -> list[tuple[np.ndarray[bool], str]]
     validator: Optional[Callable] = None
 
-    def validate(self, table: pa.Table, upsert_mask: np.ndarray) -> np.ndarray:
+    def validate(self, table: pa.Table, upsert_mask: np.ndarray) -> list:
         if self.validator is None:
-            return np.full(len(table), None, dtype=object)
+            return []
         return self.validator(table, upsert_mask)
 
 
 def _tokens_validator(vocab_size: int, max_tokens: int):
     import pyarrow.compute as pc
 
-    def validate(table: pa.Table, upsert_mask: np.ndarray) -> np.ndarray:
+    def validate(table: pa.Table, upsert_mask: np.ndarray) -> list:
         n = len(table)
-        reasons = np.full(n, None, dtype=object)
         if "tokens" not in table.column_names:
-            reasons[upsert_mask] = "missing tokens column"
-            return reasons
+            return [(upsert_mask.copy(), "missing tokens column")]
         tokens = table["tokens"].combine_chunks() if isinstance(
             table["tokens"], pa.ChunkedArray) else table["tokens"]
         null_tok = pc.is_null(tokens).to_numpy(zero_copy_only=False)
@@ -106,11 +121,13 @@ def _tokens_validator(vocab_size: int, max_tokens: int):
             valid_lengths[null_tok] = 0
             row_of_val = np.repeat(np.arange(n), valid_lengths)
             np.logical_or.at(bad_value_rows, row_of_val[bad_vals], True)
-        reasons[upsert_mask & null_tok] = "null tokens for upsert"
-        reasons[upsert_mask & ~null_tok & bad_len] = "n_tok != len(tokens)"
-        reasons[upsert_mask & ~null_tok & oversize] = "tokens oversize"
-        reasons[upsert_mask & ~null_tok & bad_value_rows] = "token out of vocab"
-        return reasons
+        ok_tok = upsert_mask & ~null_tok
+        return [
+            (ok_tok & bad_value_rows, "token out of vocab"),
+            (ok_tok & oversize, "tokens oversize"),
+            (ok_tok & bad_len, "n_tok != len(tokens)"),
+            (upsert_mask & null_tok, "null tokens for upsert"),
+        ]
 
     return validate
 
@@ -164,7 +181,7 @@ class EngineConfig:
     skip_count: int = 0  # sampling relief valve (reference etl/globals.go:326-330)
     payload: PayloadSpec = field(default_factory=TokensPayload)
     # partition fn: fn(doc_id_array, P) -> np.ndarray[int64]
-    part_fn: Callable = crc32_part
+    part_fn: Callable = hashed_part
 
     def shard_of(self, part: np.ndarray, salt: np.ndarray) -> np.ndarray:
         return part * self.max_salt + salt

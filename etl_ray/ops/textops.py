@@ -1,0 +1,66 @@
+"""Text-analysis pipelines over the documents table (language-ID, quality
+scoring, token counting, fingerprinting) — vectorized map_batches stages
+wrapping etl_ray.functions.text kernels."""
+
+from __future__ import annotations
+
+import pandas as pd
+import pyarrow as pa
+
+from etl_ray.functions import text as T
+
+
+def quality_scores(ds, *, text_col: str = "text", id_col: str = "doc_id"):
+    """Per-doc quality signals (lengths, punctuation, stopword ratio)."""
+
+    def f(df: pd.DataFrame) -> pd.DataFrame:
+        out = T.quality_metrics(df[text_col])
+        out.insert(0, id_col, df[id_col].to_numpy())
+        return out
+
+    return ds.map_batches(f, batch_format="pandas")
+
+
+def token_counts(ds, *, text_col: str = "text", id_col: str = "doc_id"):
+    """Whitespace and BPE-ish token counts per document."""
+
+    def f(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                id_col: df[id_col].to_numpy(),
+                "n_ws_tokens": T.word_count(df[text_col]),
+                "n_bpe_tokens": T.bpe_token_count(df[text_col]),
+            }
+        )
+
+    return ds.map_batches(f, batch_format="pandas")
+
+
+def language_id(ds, *, text_col: str = "text", id_col: str = "doc_id"):
+    """Stopword-profile language heuristic per document."""
+
+    def f(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                id_col: df[id_col].to_numpy(),
+                "lang_pred": T.detect_lang(df[text_col]),
+            }
+        )
+
+    return ds.map_batches(f, batch_format="pandas")
+
+
+def fingerprints(ds, *, text_col: str = "text", id_col: str = "doc_id"):
+    """md5 fingerprint of normalized text (exact-dedup key) plus a winnowed
+    rolling-hash fingerprint length (near-dup building block)."""
+
+    def f(df: pd.DataFrame) -> pd.DataFrame:
+        fp = T.fingerprint_md5(df[text_col])
+        return pd.DataFrame(
+            {
+                id_col: df[id_col].to_numpy(),
+                "fingerprint": fp,
+            }
+        )
+
+    return ds.map_batches(f, batch_format="pandas")

@@ -84,8 +84,8 @@ def compact(
     manifest = Manifest.load(lake_dir)
     todo = []
     for k, p in sorted(manifest.partitions.items()):
-        n_delta = sum(1 for f in p.files if "/delta-" in f or f.startswith("delta-"))
-        if (force and len(p.files) > 1) or n_delta >= min_deltas:
+        n_delta = sum(1 for f in p.files if "delta-" in os.path.basename(f))
+        if (force and n_delta >= 1) or n_delta >= min_deltas:
             todo.append({"part": k, "files": list(p.files)})
     if not todo:
         return {"compacted_partitions": 0, "rows": 0}

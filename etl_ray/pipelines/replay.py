@@ -29,7 +29,7 @@ import pyarrow as pa
 from etl_ray.config import QUARANTINE_SHARD, EngineConfig
 from etl_ray.schema import promote_all
 from etl_ray.sources.wal import list_segments, segments_schema
-from etl_ray.stages.apply import ApplyGroup
+from etl_ray.stages.apply import ApplyShards
 from etl_ray.stages.validate import Validator
 from etl_ray.state.manifest import Manifest
 from etl_ray.state.stats import CommitStats
@@ -109,21 +109,29 @@ def replay_once(
     commit_id = manifest.commit_id
     salted = _salted_parts(manifest, config)
 
+    cpus = int(ray.cluster_resources().get("CPU", 4))
+    concurrency = config.apply_concurrency
+    if concurrency is None:
+        # cap below the CPU count: a pool == cluster CPUs starves the
+        # upstream read of the shuffled blocks and the executor stalls
+        concurrency = max(2, cpus - 2)
+
     ds = rd.read_parquet(seg_paths)
     ds = ds.map_batches(
         Validator(config, target, salted),
         batch_format="pyarrow",
         batch_size=config.batch_size,
     )
-    concurrency = config.apply_concurrency
-    if concurrency is None:
-        # leave headroom for the read/validate/shuffle stages: an actor pool
-        # that reserves every CPU starves upstream and the pipeline stalls
-        concurrency = max(2, int(ray.cluster_resources().get("CPU", 4)) - 2)
+    # The groupby exchange is a barrier that materializes its input anyway;
+    # an explicit materialize here keeps the read+validate phase and the
+    # shuffle+apply phase from fighting over CPUs (the apply actor pool
+    # otherwise reserves cores while the read is still running — measured
+    # 2-6x slower). Memory is bounded per commit by max_segments_per_commit.
+    validated = ds.materialize()
     stats_tbl = (
-        ds.groupby("__shard")
+        validated.groupby("__shard")
         .map_groups(
-            ApplyGroup,
+            ApplyShards,
             fn_constructor_args=(lake_dir, commit_id, config),
             batch_format="pyarrow",
             concurrency=concurrency,

@@ -54,17 +54,40 @@ def _atomic_write(table: pa.Table, path: str) -> None:
     os.replace(tmp, path)
 
 
-class ApplyGroup:
+class ApplyShards:
     """Callable class → Ray actor pool; construction (path roots, config)
-    happens once per actor, not once per group (reference: per-process init
-    state, SURVEY.md §2.6)."""
+    happens once per actor, not once per block (reference: per-process init
+    state, SURVEY.md §2.6).
+
+    Input blocks come from a HASH-partitioned exchange on ``__shard``
+    (``repartition(keys=["__shard"])``): every shard's events land wholly in
+    exactly one block, but one block may carry several shards. The block is
+    locally sorted by shard and split at run boundaries — cheaper than a
+    global sort-based groupby (no range sampling, single exchange pass)."""
 
     def __init__(self, lake_dir: str, commit_id: str, config: EngineConfig):
         self.lake_dir = lake_dir
         self.commit_id = commit_id
         self.config = config
 
-    def __call__(self, group: pa.Table) -> pa.Table:
+    def __call__(self, block: pa.Table) -> pa.Table:
+        if len(block) == 0:
+            return STATS_SCHEMA.empty_table()
+        block = block.sort_by([("__shard", "ascending")])
+        shards = block["__shard"].combine_chunks()
+        import numpy as np
+
+        vals = shards.to_numpy(zero_copy_only=False)
+        boundaries = np.flatnonzero(np.diff(vals)) + 1
+        starts = np.concatenate([[0], boundaries])
+        ends = np.concatenate([boundaries, [len(vals)]])
+        outs = [
+            self._apply_one(block.slice(int(s), int(e - s)))
+            for s, e in zip(starts, ends)
+        ]
+        return pa.concat_tables(outs)
+
+    def _apply_one(self, group: pa.Table) -> pa.Table:
         t0 = time.monotonic()
         shard = group["__shard"][0].as_py()
         rows_in = len(group)
@@ -105,3 +128,7 @@ class ApplyGroup:
             },
             schema=STATS_SCHEMA,
         )
+
+
+# map_groups-compatible alias: a single-shard group is just a one-run block
+ApplyGroup = ApplyShards

@@ -45,6 +45,7 @@ class Validator:
         batch = conform(batch, self.target_schema)
         n = len(batch)
         reasons = np.full(n, None, dtype=object)
+        quarantined = np.zeros(n, dtype=bool)
 
         op = batch["op"]
         bad_op = pc.invert(pc.is_in(op, value_set=self._valid_ops)).to_numpy(
@@ -61,16 +62,19 @@ class Validator:
         is_delete = pc.equal(op, "delete").fill_null(False).to_numpy(
             zero_copy_only=False)
         upsert_mask = ~(bad_op | is_delete)
-        payload_reasons = cfg.payload.validate(batch, upsert_mask)
 
-        # precedence: control-column defects first, then payload defects
-        pr_mask = np.array([r is not None for r in payload_reasons])
-        reasons[pr_mask] = payload_reasons[pr_mask]
-        reasons[bad_seq] = "bad sequence_number"
-        reasons[bad_doc] = "bad doc_id"
-        reasons[bad_op] = "unknown op"
+        # masks applied lowest-precedence first; control-column defects win
+        checks = list(cfg.payload.validate(batch, upsert_mask))
+        checks += [
+            (bad_seq, "bad sequence_number"),
+            (bad_doc, "bad doc_id"),
+            (bad_op, "unknown op"),
+        ]
+        for mask, reason in checks:
+            if mask.any():
+                reasons[mask] = reason
+                quarantined |= mask
 
-        quarantined = np.array([r is not None for r in reasons])
         part = cfg.part_fn(doc_id.combine_chunks() if isinstance(
             doc_id, pa.ChunkedArray) else doc_id, cfg.num_partitions)
         if self.salted_parts:

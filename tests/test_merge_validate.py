@@ -5,7 +5,7 @@ from etl_ray.config import (
     QUARANTINE_SHARD,
     EngineConfig,
     TokensPayload,
-    crc32_part,
+    hashed_part,
 )
 from etl_ray.stages.merge import drop_tombstones, lww_last_per_doc, merge_runs
 from etl_ray.stages.validate import Validator, split_quarantine
@@ -116,7 +116,7 @@ def test_validator_routes_and_reasons():
     assert reasons["h"] == "null tokens for upsert"
     assert all(s == QUARANTINE_SHARD for s in quar["__shard"].to_pylist())
     # valid rows route to shard = part*max_salt (salt 0 when unsalted)
-    part_a = crc32_part(pa.array(["a"]), 4)[0]
+    part_a = hashed_part(pa.array(["a"]), 4)[0]
     row_a = [r for r in valid.to_pylist() if r["doc_id"] == "a"][0]
     assert row_a["__shard"] == part_a * 2
 

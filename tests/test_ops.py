@@ -1,0 +1,159 @@
+"""Training-data ops: dedup family, similarity search, multimodal plumbing —
+verified on small in-memory corpora with planted duplicates/neighbors."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+from etl_ray.ops.dedup import (
+    MinHasher,
+    SimHasher,
+    exact_dedup,
+    jaccard_of_texts,
+    minhash_lsh_candidates,
+    simhash_candidates,
+)
+from etl_ray.ops.multimodal import (
+    FakeImageDecoder,
+    RealImageDecoder,
+    decode_images,
+    frame_sample,
+    to_binary_payload,
+)
+from etl_ray.ops.similarity import (
+    cosine_topk,
+    embedding_near_dups,
+    lsh_bucketed_pairs,
+)
+
+DOCS = [
+    (0, "the quick brown fox jumps over the lazy dog again and again"),
+    (1, "the quick brown fox jumps over the lazy dog again and again"),  # exact dup of 0
+    (2, "the quick brown fox jumps over the lazy cat again and again"),  # near dup of 0
+    (3, "completely different content about ray data pipelines at scale"),
+    (4, "yet another unrelated document mentioning parquet and arrow"),
+]
+
+
+def docs_ds():
+    import ray.data as rd
+
+    return rd.from_pandas(pd.DataFrame(DOCS, columns=["doc_id", "text"]))
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_exact_dedup_keeps_min_id():
+    out = exact_dedup(docs_ds()).to_pandas()
+    assert len(out) == 4  # 0/1 collapse
+    assert 0 in set(out["doc_id"]) and 1 not in set(out["doc_id"])
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_minhash_lsh_finds_near_dups():
+    cand = minhash_lsh_candidates(docs_ds(), concurrency=2).to_pandas()
+    pairs = set(map(tuple, cand[["id_a", "id_b"]].to_numpy()))
+    assert (0, 1) in pairs  # exact dup always a candidate
+    assert (0, 2) in pairs or (1, 2) in pairs  # near dup caught by banding
+    assert (3, 4) not in pairs
+    j = jaccard_of_texts(DOCS[0][1], DOCS[2][1])
+    assert 0.5 < j < 1.0
+    assert jaccard_of_texts(DOCS[0][1], DOCS[1][1]) == 1.0
+
+
+def test_minhash_signature_similarity():
+    mh = MinHasher()
+    s0 = mh.signature(DOCS[0][1])
+    s2 = mh.signature(DOCS[2][1])
+    s3 = mh.signature(DOCS[3][1])
+    sim02 = (s0 == s2).mean()
+    sim03 = (s0 == s3).mean()
+    assert sim02 > 0.4 > sim03
+
+
+def test_simhash_hamming_orders_similarity():
+    h0 = SimHasher.simhash64(DOCS[0][1])
+    h2 = SimHasher.simhash64(DOCS[2][1])
+    h3 = SimHasher.simhash64(DOCS[3][1])
+    d02 = bin(h0 ^ h2).count("1")
+    d03 = bin(h0 ^ h3).count("1")
+    assert d02 < d03
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_simhash_candidates_pipeline():
+    cand = simhash_candidates(docs_ds(), max_hamming=12,
+                              concurrency=2).to_pandas()
+    pairs = set(map(tuple, cand[["id_a", "id_b"]].to_numpy()))
+    assert (0, 1) in pairs
+
+
+def _emb_table(n=40, d=16, seed=3):
+    rng = np.random.default_rng(seed)
+    M = rng.standard_normal((n, d))
+    M[1] = M[0] + 0.01 * rng.standard_normal(d)  # planted near-dup of 0
+    return M, pa.table({
+        "vec_id": pa.array(np.arange(n), pa.int64()),
+        "embedding": pa.array([list(map(float, r)) for r in M],
+                              pa.list_(pa.float32())),
+    })
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_cosine_topk_matches_bruteforce():
+    import ray.data as rd
+
+    M, tbl = _emb_table()
+    ds = rd.from_arrow(tbl)
+    Q = M[:2]
+    out = cosine_topk(ds, [0, 1], Q, k=5, concurrency=2)
+    # exact check vs numpy (float32 storage roundtrip on the batch side)
+    Mn = M.astype(np.float32).astype(np.float64)
+    Mn = Mn / np.linalg.norm(Mn, axis=1, keepdims=True)
+    Qn = Q / np.linalg.norm(Q, axis=1, keepdims=True)
+    S = Qn @ Mn.T
+    for qid in (0, 1):
+        got = out[out["query_id"] == qid]["vec_id"].tolist()
+        exp = np.argsort(-S[qid])[:5].tolist()
+        assert got == exp
+    assert out[out["query_id"] == 0].iloc[0]["vec_id"] == 0  # self best
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_embedding_near_dups_and_lsh():
+    import ray.data as rd
+
+    M, tbl = _emb_table()
+    ds = rd.from_arrow(tbl)
+    out = embedding_near_dups(ds, np.arange(len(M)), M, threshold=0.97,
+                              concurrency=2).to_pandas()
+    assert {(0, 1)} == set(map(tuple, out[["id_a", "id_b"]].to_numpy()))
+    lsh = lsh_bucketed_pairs(rd.from_arrow(tbl), threshold=0.97, n_planes=4,
+                             dim=16, concurrency=2).to_pandas()
+    assert (0, 1) in set(map(tuple, lsh[["id_a", "id_b"]].to_numpy()))
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_multimodal_plumbing():
+    import ray.data as rd
+
+    ds = rd.from_pandas(pd.DataFrame(DOCS, columns=["doc_id", "text"]))
+    payloads = ds.map_batches(to_binary_payload, batch_format="pyarrow")
+    out = decode_images(payloads, concurrency=2).to_pandas()
+    assert len(out) == len(DOCS)
+    assert (out["payload_bytes"] > 0).all()
+    assert out["width"].between(1, 64).all()
+    # deterministic: same payload → same feature
+    f = out.sort_values("doc_id")["feature"].tolist()
+    assert f[0] == f[1]  # docs 0 and 1 identical text
+    with pytest.raises(NotImplementedError):
+        RealImageDecoder()
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_frame_sample_thinning():
+    import ray.data as rd
+
+    t = pa.table({"doc_id": pa.array(range(25), pa.int64())})
+    out = frame_sample(rd.from_arrow(t), every_nth=10).to_pandas()
+    assert set(out["doc_id"]) == {0, 10, 20, 24}
