@@ -179,6 +179,21 @@ class EngineConfig:
     compact_min_deltas: int = 4
     max_segments_per_commit: int = 1_000_000
     skip_count: int = 0  # sampling relief valve (reference etl/globals.go:326-330)
+    # "storage": disk/shared-fs hash exchange (fast, scales, default);
+    # "sort": Ray Data sort-based groupby shuffle (no shared fs needed)
+    exchange: str = "storage"
+    # where exchange fragments live. None → <lake>/_exchange (shared fs on a
+    # real cluster). Single-node benchmarking can point this at /dev/shm —
+    # fragments are transient (deleted after commit), so RAM-backed tmpfs is
+    # the in-memory-shuffle analog and skips a disk round-trip.
+    exchange_root: Optional[str] = None
+    # The stateful stages (apply / merge-read / compact) are callable CLASSES
+    # (the actor-pool map_batches pattern). True runs them as a Ray actor
+    # pool — right when per-worker state is expensive (models, big dicts).
+    # False ships a constructed instance to a task pool: same code, no
+    # per-execution actor spawn (measured ~8 s per commit for a 30-actor
+    # pool — pure overhead when the state is a path + schema).
+    use_actor_pool: bool = False
     payload: PayloadSpec = field(default_factory=TokensPayload)
     # partition fn: fn(doc_id_array, P) -> np.ndarray[int64]
     part_fn: Callable = hashed_part

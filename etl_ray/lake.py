@@ -75,30 +75,39 @@ def read_lake(
     include_seq: bool = False,
     columns: Optional[List[str]] = None,
     concurrency: Optional[int] = None,
+    use_actor_pool: bool = False,
 ):
     """Current committed state of the lake as a ``ray.data.Dataset``
     (one block per partition; streaming merge-on-read, no shuffle)."""
     import ray.data as rd
+
+    from etl_ray.util import descriptor_dataset
 
     manifest = Manifest.load(lake_dir)
     descs = partition_descriptors(manifest)
     if not descs:
         schema = manifest.schema or pa.schema([pa.field("doc_id", pa.string())])
         return rd.from_arrow(schema.empty_table())
-    if concurrency is None:
-        import ray
+    ds = descriptor_dataset(descs)
+    ctor = (lake_dir, manifest.schema_hex, include_seq, columns)
+    if use_actor_pool:
+        if concurrency is None:
+            import ray
 
-        cpus = int(ray.cluster_resources().get("CPU", 4))
-        concurrency = max(1, min(len(descs), cpus - 1))
-    ds = rd.from_items(descs).repartition(len(descs))
+            cpus = int(ray.cluster_resources().get("CPU", 4))
+            concurrency = max(1, min(len(descs), cpus - 1))
+        return ds.map_batches(
+            MergeRead,
+            fn_constructor_args=ctor,
+            batch_format="pyarrow",
+            batch_size=1,
+            concurrency=concurrency,
+            num_cpus=1,
+        )
     return ds.map_batches(
-        MergeRead,
-        fn_constructor_args=(
-            lake_dir, manifest.schema_hex, include_seq, columns),
+        MergeRead(*ctor),
         batch_format="pyarrow",
-        batch_size=None,
-        concurrency=concurrency,
-        num_cpus=1,
+        batch_size=1,  # one descriptor per task (see util.descriptor_dataset)
     )
 
 

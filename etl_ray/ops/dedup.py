@@ -151,14 +151,13 @@ def minhash_lsh_candidates(ds, *, num_perm: int = 64, bands: int = 16,
                            id_col: str = "doc_id", concurrency: int = 4):
     """Candidate near-dup pairs via MinHash banding; returns a Dataset of
     unique (id_a, id_b)."""
+    # constructed instance → task pool: the hash coefficients are tiny, and
+    # a per-execution actor pool costs ~1s/actor in spawn (see EngineConfig.
+    # use_actor_pool); pass the CLASS + concurrency for heavy-state variants
     sig = ds.map_batches(
-        MinHasher,
-        fn_constructor_kwargs=dict(num_perm=num_perm, bands=bands,
-                                   shingle_n=shingle_n, text_col=text_col,
-                                   id_col=id_col),
+        MinHasher(num_perm=num_perm, bands=bands, shingle_n=shingle_n,
+                  text_col=text_col, id_col=id_col),
         batch_format="pyarrow",
-        concurrency=concurrency,
-        num_cpus=1,
     )
     pairs = (
         sig.groupby(["band", "band_hash"])
@@ -239,11 +238,8 @@ def simhash_candidates(ds, *, max_hamming: int = 3, text_col: str = "text",
     import ray.data as rd
 
     sigs = ds.map_batches(
-        SimHasher,
-        fn_constructor_kwargs=dict(text_col=text_col, id_col=id_col),
+        SimHasher(text_col=text_col, id_col=id_col),
         batch_format="pyarrow",
-        concurrency=concurrency,
-        num_cpus=1,
     )
 
     def explode(batch: pa.Table) -> pa.Table:

@@ -91,19 +91,24 @@ def compact(
         return {"compacted_partitions": 0, "rows": 0}
 
     new_version = manifest.version + 1
+    from etl_ray.util import descriptor_dataset, pool_args
+
     if concurrency is None:
         import ray
 
         cpus = int(ray.cluster_resources().get("CPU", 4))
         concurrency = max(1, min(len(todo), cpus - 1))
-    ds = rd.from_items(todo).repartition(len(todo))
+    ds = descriptor_dataset(todo)
+    fn, pool = pool_args(
+        config, CompactGroup,
+        (lake_dir, manifest.schema_hex, new_version),
+        concurrency,
+    )
     stats = ds.map_batches(
-        CompactGroup,
-        fn_constructor_args=(lake_dir, manifest.schema_hex, new_version),
+        fn,
         batch_format="pyarrow",
-        batch_size=None,
-        concurrency=concurrency,
-        num_cpus=1,
+        batch_size=1,  # one descriptor per task (see util.descriptor_dataset)
+        **pool,
     ).to_pandas()
 
     manifest.version = new_version

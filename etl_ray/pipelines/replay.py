@@ -69,6 +69,75 @@ def _salted_parts(manifest: Manifest, config: EngineConfig) -> frozenset:
     )
 
 
+def _storage_exchange_apply(seg_paths, lake_dir, commit_id, config, target,
+                            salted, cpus, concurrency):
+    """Two-phase apply through the disk exchange (see stages/exchange.py).
+
+    Phase 1 is a stateless task pool (validate + bucket-split fragment
+    writes, streaming); phase 2 is the stateful actor pool, one input block
+    per bucket. Both phases' outputs are tiny stats tables.
+    """
+    import ray.data as rd
+
+    from etl_ray.stages.exchange import (
+        ApplyBucket,
+        FragmentWriter,
+        bucket_descriptors,
+        cleanup_exchange,
+        exchange_path,
+    )
+
+    # wipe any fragments from a crashed attempt of this same commit: the
+    # retry regenerates them deterministically
+    cleanup_exchange(lake_dir, commit_id, config.exchange_root)
+    exch = exchange_path(lake_dir, commit_id, config.exchange_root)
+    n_buckets = max(4, min(config.num_partitions * config.max_salt, cpus * 2))
+
+    ds = rd.read_parquet(seg_paths)
+    # a constructed instance → stateless TASK pool: tasks reuse Ray's
+    # pre-started workers (an actor pool would pay ~1s/actor startup every
+    # commit); the Validator it carries is cheap to ship
+    frag_stats = ds.map_batches(
+        FragmentWriter(config, target, salted, exch, n_buckets),
+        batch_format="pyarrow",
+        batch_size=config.batch_size,
+    ).to_pandas()
+    del frag_stats  # lineage is recomputed exactly from apply output
+
+    items = bucket_descriptors(exch)
+    if not items:
+        from etl_ray.stages.apply import STATS_SCHEMA
+
+        return STATS_SCHEMA.empty_table().to_pandas()
+    ctx = rd.DataContext.get_current()
+    prev_min = ctx.target_min_block_size
+    try:
+        # descriptor rows are bytes-tiny; without this the executor bundles
+        # them into one block and stage 2 loses its parallelism
+        ctx.target_min_block_size = 0
+        desc = rd.from_items(items, override_num_blocks=len(items))
+        pool = dict(
+            fn_constructor_args=(lake_dir, commit_id, config),
+            concurrency=min(concurrency, len(items)),
+            num_cpus=1,
+        ) if config.use_actor_pool else {}
+        fn = ApplyBucket if config.use_actor_pool else ApplyBucket(
+            lake_dir, commit_id, config)
+        stats_tbl = desc.map_batches(
+            fn,
+            batch_format="pyarrow",
+            # batch_size=1 == min_rows_per_bundled_input=1: dispatch each
+            # 1-row descriptor block as its own task (None lets the executor
+            # bundle the tiny blocks into one and serializes the stage)
+            batch_size=1,
+            **pool,
+        ).to_pandas()
+    finally:
+        ctx.target_min_block_size = prev_min
+    cleanup_exchange(lake_dir, commit_id, config.exchange_root)
+    return stats_tbl
+
+
 def replay_once(
     wal_dir: str,
     lake_dir: str,
@@ -116,29 +185,35 @@ def replay_once(
         # upstream read of the shuffled blocks and the executor stalls
         concurrency = max(2, cpus - 2)
 
-    ds = rd.read_parquet(seg_paths)
-    ds = ds.map_batches(
-        Validator(config, target, salted),
-        batch_format="pyarrow",
-        batch_size=config.batch_size,
-    )
-    # The groupby exchange is a barrier that materializes its input anyway;
-    # an explicit materialize here keeps the read+validate phase and the
-    # shuffle+apply phase from fighting over CPUs (the apply actor pool
-    # otherwise reserves cores while the read is still running — measured
-    # 2-6x slower). Memory is bounded per commit by max_segments_per_commit.
-    validated = ds.materialize()
-    stats_tbl = (
-        validated.groupby("__shard")
-        .map_groups(
-            ApplyShards,
-            fn_constructor_args=(lake_dir, commit_id, config),
-            batch_format="pyarrow",
-            concurrency=concurrency,
-            num_cpus=1,
+    if config.exchange == "storage":
+        stats_tbl = _storage_exchange_apply(
+            seg_paths, lake_dir, commit_id, config, target, salted,
+            cpus, concurrency,
         )
-        .to_pandas()
-    )
+    else:
+        ds = rd.read_parquet(seg_paths)
+        ds = ds.map_batches(
+            Validator(config, target, salted),
+            batch_format="pyarrow",
+            batch_size=config.batch_size,
+        )
+        # The groupby exchange is a barrier that materializes its input
+        # anyway; the explicit materialize keeps the read+validate phase and
+        # the shuffle+apply phase from fighting over CPUs (the apply actor
+        # pool otherwise reserves cores while the read is still running —
+        # measured 2-6x slower).
+        validated = ds.materialize()
+        stats_tbl = (
+            validated.groupby("__shard")
+            .map_groups(
+                ApplyShards,
+                fn_constructor_args=(lake_dir, commit_id, config),
+                batch_format="pyarrow",
+                concurrency=concurrency,
+                num_cpus=1,
+            )
+            .to_pandas()
+        )
 
     cs = CommitStats(commit_id=commit_id, segments=[s.number for s in segs])
     cs.events_in = int(stats_tbl["rows_in"].sum())
