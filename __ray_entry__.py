@@ -285,6 +285,77 @@ def _q_lang_id(sf_dir: str):
     )
 
 
+def _q_sessionize(sf_dir: str):
+    import ray.data as rd
+
+    from etl_ray.ops.windows import sessionize
+
+    ds = rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                         columns=["event_id", "ts", "user_id", "value"])
+    out = sessionize(ds, gap_minutes=30).to_pandas()
+    return (
+        out[["user_id", "session_id", "session_start", "session_end",
+             "n_events", "sum_value"]]
+        .sort_values(["user_id", "session_id"])
+        .reset_index(drop=True)
+    )
+
+
+def _q_rolling_avg(sf_dir: str):
+    import ray.data as rd
+
+    from etl_ray.ops.windows import rolling_stats
+
+    ds = rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                         columns=["event_id", "ts", "user_id", "value"])
+    out = rolling_stats(ds, window=3).to_pandas()
+    return (
+        out[["user_id", "event_id", "moving_avg"]]
+        .sort_values(["user_id", "event_id"])
+        .reset_index(drop=True)
+    )
+
+
+def _q_archive_ingest(sf_dir: str):
+    """documents → a tar archive of .txt test files → archive source →
+    parser registry → standard-column rows (the reference's §3.1 task
+    lifecycle end-to-end, verified against SQL over the same documents)."""
+    import io
+    import json
+    import tarfile
+    import tempfile
+
+    import pandas as pd
+    import pyarrow.parquet as pq
+
+    from etl_ray.parsers import parse_archives
+
+    docs = pq.read_table(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+    ).sort_by([("doc_id", "ascending")])
+    d = tempfile.mkdtemp(prefix="etl_ray_archq_")
+    tar_path = os.path.join(d, "docs.tgz")
+    with tarfile.open(tar_path, "w:gz") as tf:
+        for did, text in zip(docs["doc_id"].to_pylist(),
+                             docs["text"].to_pylist()):
+            data = (text or "").encode("utf-8")
+            info = tarfile.TarInfo(f"doc-{did:08d}.txt")
+            info.size = len(data)
+            tf.addfile(info, io.BytesIO(data))
+    parsed = parse_archives([tar_path]).to_pandas()
+    ok = parsed[parsed["error"].isna()]
+    payloads = ok["payload"].map(json.loads)
+    out = pd.DataFrame(
+        {
+            "doc_id": ok["member"].str.extract(r"doc-(\d+)\.txt")[0].astype(
+                "int64"),
+            "n_chars": payloads.map(lambda p: p["n_chars"]).astype("int64"),
+            "n_words": payloads.map(lambda p: p["n_words"]).astype("int64"),
+        }
+    )
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
 def _q_multimodal(sf_dir: str):
     import ray.data as rd
 
@@ -332,6 +403,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_embedding_cosine": _q_dedup_embedding,
         "dedup_lsh_embedding": _q_dedup_lsh_embedding,
         "ann_cosine_topk": _q_ann_topk,
+        "sessionize": _q_sessionize,
+        "rolling_avg": _q_rolling_avg,
+        "archive_ingest": _q_archive_ingest,
         "text_token_counts": _q_text_tokens,
         "text_quality": _q_text_quality,
         "doc_fingerprint": _q_doc_fingerprint,
@@ -448,6 +522,41 @@ WITH q AS (SELECT vec_id AS query_id, embedding FROM embeddings
        FROM scored)
 SELECT query_id, vec_id, round(cos, 4) AS score, rank
 FROM ranked WHERE rank <= 10 ORDER BY query_id, rank
+""",
+        "sessionize": """
+WITH o AS (
+  SELECT user_id, ts, event_id, value,
+         CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id)
+                   > INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS brk
+  FROM events
+), s AS (
+  SELECT *, CAST(sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                ROWS UNBOUNDED PRECEDING) AS BIGINT)
+              AS session_id
+  FROM o
+)
+SELECT user_id, session_id, min(ts) AS session_start,
+       max(ts) AS session_end, count(*) AS n_events,
+       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS DOUBLE) / 100.0
+         AS sum_value
+FROM s GROUP BY 1, 2 ORDER BY 1, 2
+""",
+        "rolling_avg": """
+SELECT user_id, event_id,
+       CAST(sum(CAST(round(value * 100) AS BIGINT)) OVER w AS DOUBLE)
+         / (100.0 * count(*) OVER w) AS moving_avg
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+ORDER BY user_id, event_id
+""",
+        "archive_ingest": """
+SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars,
+       CAST(CASE WHEN trim(text) = '' THEN 0
+            ELSE len(regexp_split_to_array(trim(text), '\\s+')) END
+            AS BIGINT) AS n_words
+FROM documents ORDER BY doc_id
 """,
         "text_token_counts": f"""
 SELECT doc_id,

@@ -1,0 +1,179 @@
+"""CLI driver — the ``ray job submit`` entry point.
+
+The analog of the reference's worker process entry points
+(/root/reference/cmd/etl_worker/etl_worker.go:118-158 one-shot HTTP task,
+active polling loop poller.go:197-216) re-expressed as batch job commands:
+
+    ray job submit --working-dir . -- python -m etl_ray replay \
+        --wal /data/wal --lake /data/lake --num-partitions 64
+    python -m etl_ray replay --wal WAL --lake LAKE [--poll SECONDS]
+    python -m etl_ray bootstrap --base base.parquet --lake LAKE
+    python -m etl_ray compact --lake LAKE [--force]
+    python -m etl_ray status --lake LAKE
+    python -m etl_ray gc --lake LAKE
+    python -m etl_ray export --lake LAKE --out DIR   # JSONL export
+
+Only this CLI owns the Ray session (guarded init; the library never calls
+ray.init). ``--poll`` turns replay into the Gardener-style tail loop: sleep,
+re-list the WAL, apply anything new (active/poller.go:152-216).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+
+def _init_ray(num_cpus=None):
+    import ray
+
+    if not ray.is_initialized():
+        kwargs = dict(address="local", include_dashboard=False,
+                      ignore_reinit_error=True, logging_level="ERROR")
+        if num_cpus:
+            kwargs["num_cpus"] = num_cpus
+        ray.init(**kwargs)
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+
+
+def _config(args):
+    from etl_ray.config import EngineConfig
+
+    kw = {}
+    for name in ("num_partitions", "max_salt", "batch_size", "salt_threshold",
+                 "skip_count"):
+        v = getattr(args, name, None)
+        if v is not None:
+            kw[name] = v
+    if getattr(args, "exchange_root", None):
+        kw["exchange_root"] = args.exchange_root
+    if getattr(args, "use_actor_pool", False):
+        kw["use_actor_pool"] = True
+    return EngineConfig(**kw)
+
+
+def main(argv=None) -> int:
+    p = argparse.ArgumentParser(prog="etl_ray")
+    p.add_argument("--num-cpus", type=int, default=None)
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    def common(sp):
+        sp.add_argument("--lake", required=True)
+        sp.add_argument("--num-partitions", type=int, default=None,
+                        dest="num_partitions")
+        sp.add_argument("--max-salt", type=int, default=None, dest="max_salt")
+        sp.add_argument("--batch-size", type=int, default=None,
+                        dest="batch_size")
+        sp.add_argument("--salt-threshold", type=int, default=None,
+                        dest="salt_threshold")
+        sp.add_argument("--skip-count", type=int, default=None,
+                        dest="skip_count")
+        sp.add_argument("--exchange-root", default=None, dest="exchange_root")
+        sp.add_argument("--use-actor-pool", action="store_true",
+                        dest="use_actor_pool")
+
+    sp = sub.add_parser("replay", help="apply unapplied WAL segments")
+    sp.add_argument("--wal", required=True)
+    sp.add_argument("--segments-per-commit", type=int, default=None)
+    sp.add_argument("--poll", type=float, default=None,
+                    help="tail loop: re-check the WAL every N seconds")
+    common(sp)
+
+    sp = sub.add_parser("bootstrap", help="load an initial base table")
+    sp.add_argument("--base", required=True)
+    common(sp)
+
+    sp = sub.add_parser("compact", help="merge delta runs into new bases")
+    sp.add_argument("--force", action="store_true")
+    sp.add_argument("--min-deltas", type=int, default=None)
+    common(sp)
+
+    sp = sub.add_parser("status", help="print manifest summary")
+    sp.add_argument("--lake", required=True)
+
+    sp = sub.add_parser("gc", help="remove uncommitted orphan files")
+    sp.add_argument("--lake", required=True)
+
+    sp = sub.add_parser("export", help="export live rows as JSONL")
+    sp.add_argument("--out", required=True)
+    common(sp)
+
+    args = p.parse_args(argv)
+
+    if args.cmd == "status":
+        from etl_ray.state.manifest import Manifest
+
+        m = Manifest.load(args.lake)
+        lin = {k: v for k, v in m.lineage.items() if k != "commits"}
+        print(json.dumps(
+            {
+                "version": m.version,
+                "num_partitions": m.num_partitions,
+                "applied_through_segment": m.applied_through_segment,
+                "live_files": len(m.live_files()),
+                "quarantine_files": len(m.quarantine_files),
+                "lineage": lin,
+                "last_commits": m.lineage.get("commits", [])[-3:],
+            },
+            default=str,
+        ))
+        return 0
+
+    if args.cmd == "gc":
+        from etl_ray.state.manifest import Manifest
+
+        removed = Manifest.load(args.lake).gc()
+        print(json.dumps({"removed": removed}))
+        return 0
+
+    _init_ray(args.num_cpus)
+    try:
+        if args.cmd == "replay":
+            from etl_ray.pipelines.replay import replay
+
+            cfg = _config(args)
+            while True:
+                commits = replay(args.wal, args.lake, cfg,
+                                 segments_per_commit=args.segments_per_commit)
+                for c in commits:
+                    print(json.dumps(c.to_json()))
+                if args.poll is None:
+                    break
+                time.sleep(args.poll)
+            return 0
+        if args.cmd == "bootstrap":
+            from etl_ray.lake import bootstrap
+
+            m = bootstrap(args.base, args.lake, _config(args))
+            print(json.dumps({"version": m.version,
+                              "partitions": len(m.partitions)}))
+            return 0
+        if args.cmd == "compact":
+            from etl_ray.pipelines.compaction import compact
+
+            res = compact(args.lake, _config(args), force=args.force,
+                          min_deltas=args.min_deltas)
+            print(json.dumps(res))
+            return 0
+        if args.cmd == "export":
+            from etl_ray.lake import read_lake
+            from etl_ray.sinks import write_jsonl
+
+            stats = write_jsonl(read_lake(args.lake, include_seq=True),
+                                args.out)
+            print(json.dumps({"files": len(stats),
+                              "rows": int(stats["rows"].sum())}))
+            return 0
+    finally:
+        import ray
+
+        ray.shutdown()
+    return 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,133 @@
+"""Archive source: tar archives of small test files → Dataset of members.
+
+The reference's unit of work is a .tgz/.tar archive of test files streamed
+member-by-member (/root/reference/storage/storage.go:149-304 GCSSource /
+NewTestSource, task/task.go:90-200). Ray-Data-native shape:
+
+    list archive paths (driver scout, skip-count sampling)
+      → descriptor Dataset (one block per archive)
+      → map_batches(ArchiveReader instance): open tar, iterate members,
+        oversize skip, gzip member decode → rows (archive, member, data)
+      → parser dispatch (etl_ray.parsers) in a downstream map_batches
+
+Ordering note: members are emitted in tar order (the reference relies on
+lexical order for NDT grouping, parser/ndt.go:210-248 — and panics when
+violated); group-by-key sessionization downstream must NOT rely on block
+order, only on within-archive member order (each archive is one batch).
+"""
+
+from __future__ import annotations
+
+import gzip
+import io
+import os
+import re
+import tarfile
+from typing import List, Optional
+
+import pyarrow as pa
+
+from etl_ray.util import descriptor_dataset
+
+MEMBER_SCHEMA = pa.schema(
+    [
+        pa.field("archive", pa.string()),
+        pa.field("member", pa.string()),
+        pa.field("size", pa.int64()),
+        pa.field("data", pa.binary()),
+        pa.field("skipped", pa.string()),  # null, or skip reason
+    ]
+)
+
+# oversize guard, reference task/task.go:30-34 (200 MB there; configurable)
+DEFAULT_MAX_MEMBER_BYTES = 200 * 1024 * 1024
+
+
+def list_archives(root: str, *, pattern: str = r"\.(tar|tgz|tar\.gz)$",
+                  skip_count: int = 0, limit: Optional[int] = None) -> List[str]:
+    """Driver-side archive discovery with regex filter + skip-count sampling
+    (reference active/active.go:167-203, etl/globals.go:326-330)."""
+    pat = re.compile(pattern)
+    out = []
+    for dirpath, _dirs, files in os.walk(root):
+        for fn in sorted(files):
+            if pat.search(fn):
+                out.append(os.path.join(dirpath, fn))
+    out.sort()
+    if skip_count > 0:
+        out = out[:: skip_count + 1]
+    if limit is not None:
+        out = out[:limit]
+    return out
+
+
+class ArchiveReader:
+    """Reads one archive per descriptor row; emits one row per member.
+
+    Oversize members are emitted with ``skipped`` set (counted, not parsed —
+    never silently dropped); ``.gz`` members are decompressed.
+    """
+
+    def __init__(self, max_member_bytes: int = DEFAULT_MAX_MEMBER_BYTES,
+                 decompress: bool = True):
+        self.max_member_bytes = max_member_bytes
+        self.decompress = decompress
+
+    def _read_archive(self, path: str):
+        rows = []
+        mode = "r:gz" if path.endswith((".tgz", ".tar.gz")) else "r"
+        with tarfile.open(path, mode) as tf:
+            for member in tf:
+                if not member.isfile():
+                    continue
+                if member.size > self.max_member_bytes:
+                    rows.append((path, member.name, member.size, b"",
+                                 "oversize"))
+                    continue
+                fh = tf.extractfile(member)
+                data = fh.read() if fh else b""
+                if self.decompress and member.name.endswith(".gz"):
+                    try:
+                        data = gzip.decompress(data)
+                    except OSError:
+                        rows.append((path, member.name, member.size, data,
+                                     "bad gzip"))
+                        continue
+                rows.append((path, member.name, len(data), data, None))
+        return rows
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        rows = []
+        for path in batch["path"].to_pylist():
+            rows.extend(self._read_archive(path))
+        if not rows:
+            return MEMBER_SCHEMA.empty_table()
+        cols = list(zip(*rows))
+        return pa.table(
+            {
+                "archive": pa.array(cols[0], pa.string()),
+                "member": pa.array(cols[1], pa.string()),
+                "size": pa.array(cols[2], pa.int64()),
+                "data": pa.array(cols[3], pa.binary()),
+                "skipped": pa.array(cols[4], pa.string()),
+            }
+        )
+
+
+def read_archives(root_or_paths, *, skip_count: int = 0,
+                  max_member_bytes: int = DEFAULT_MAX_MEMBER_BYTES):
+    """Dataset of archive members (one archive per task; streaming)."""
+    if isinstance(root_or_paths, str):
+        paths = list_archives(root_or_paths, skip_count=skip_count)
+    else:
+        paths = list(root_or_paths)
+    if not paths:
+        import ray.data as rd
+
+        return rd.from_arrow(MEMBER_SCHEMA.empty_table())
+    ds = descriptor_dataset([{"path": p} for p in paths])
+    return ds.map_batches(
+        ArchiveReader(max_member_bytes=max_member_bytes),
+        batch_format="pyarrow",
+        batch_size=1,
+    )
