@@ -177,6 +177,10 @@ class EngineConfig:
     batch_size: int = 8192
     apply_concurrency: Optional[int] = None  # None → let Ray pick task pool
     compact_min_deltas: int = 4
+    # above this input size, compaction switches to the bounded-memory
+    # range-sliced streaming sort-merge (stages/streaming_merge.py)
+    compact_streaming_threshold_bytes: int = 512 << 20
+    compact_rows_per_range: int = 1 << 20
     max_segments_per_commit: int = 1_000_000
     skip_count: int = 0  # sampling relief valve (reference etl/globals.go:326-330)
     # "storage": disk/shared-fs hash exchange (fast, scales, default);

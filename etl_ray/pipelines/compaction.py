@@ -25,41 +25,64 @@ from etl_ray.state.manifest import Manifest
 
 
 class CompactGroup:
-    def __init__(self, lake_dir: str, schema_hex: str, new_gen: int):
+    def __init__(self, lake_dir: str, schema_hex: str, new_gen: int,
+                 streaming_threshold_bytes: int = 512 << 20,
+                 rows_per_range: int = 1 << 20):
         from etl_ray.schema import schema_from_hex
 
         self.lake_dir = lake_dir
         self.schema = schema_from_hex(schema_hex)
         self.new_gen = new_gen
+        self.streaming_threshold_bytes = streaming_threshold_bytes
+        self.rows_per_range = rows_per_range
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         rows = []
         for row in batch.to_pylist():
             t0 = time.monotonic()
             part = row["part"]
-            tables = [
-                pq.read_table(os.path.join(self.lake_dir, f))
-                for f in row["files"]
-            ]
-            merged = merge_runs(
-                tables, drop_deletes=True, target_schema=self.schema
-            )
-            if "op" in merged.column_names:
-                merged = merged.drop_columns(["op"])
+            paths = [os.path.join(self.lake_dir, f) for f in row["files"]]
             rel = os.path.join(
                 f"part={part}", f"base-g{self.new_gen}-p{part}.parquet"
             )
             path = os.path.join(self.lake_dir, rel)
             os.makedirs(os.path.dirname(path), exist_ok=True)
             tmp = path + ".tmp"
-            pq.write_table(merged, tmp)
+            total_bytes = sum(os.path.getsize(p) for p in paths)
+            mode = "memory"
+            if total_bytes > self.streaming_threshold_bytes:
+                # bounded-memory range-sliced sort-merge (scale path for
+                # partitions larger than a worker heap)
+                from etl_ray.stages.streaming_merge import (
+                    streaming_merge_files,
+                )
+
+                try:
+                    n = streaming_merge_files(
+                        paths, tmp, target_schema=self.schema,
+                        drop_deletes=True, drop_columns=["op"],
+                        rows_per_range=self.rows_per_range,
+                    )
+                    mode = "streaming"
+                except ValueError:
+                    mode = "memory"  # stats missing → fall back
+            if mode == "memory":
+                tables = [pq.read_table(p) for p in paths]
+                merged = merge_runs(
+                    tables, drop_deletes=True, target_schema=self.schema
+                )
+                if "op" in merged.column_names:
+                    merged = merged.drop_columns(["op"])
+                pq.write_table(merged, tmp)
+                n = len(merged)
             os.replace(tmp, path)
             rows.append(
                 {
                     "part": part,
-                    "rows": len(merged),
+                    "rows": n,
                     "file": rel,
-                    "n_inputs": len(tables),
+                    "n_inputs": len(paths),
+                    "mode": mode,
                     "wall_sec": time.monotonic() - t0,
                 }
             )
@@ -101,7 +124,9 @@ def compact(
     ds = descriptor_dataset(todo)
     fn, pool = pool_args(
         config, CompactGroup,
-        (lake_dir, manifest.schema_hex, new_version),
+        (lake_dir, manifest.schema_hex, new_version,
+         config.compact_streaming_threshold_bytes,
+         config.compact_rows_per_range),
         concurrency,
     )
     stats = ds.map_batches(
