@@ -25,6 +25,9 @@ import time
 
 SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
 NCPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+# scaling children run headline-only (2 timed runs, no op micro-benches)
+# so the two-level comparison fits one bench budget
+LIGHT = os.environ.get("GRAFT_BENCH_LIGHT") == "1"
 EVENTS_PER_SF = 20_000_000  # sf0.1 → 2M events (~1 GB of token payload)
 BENCH_ROOT = "/tmp/etl_ray_bench"
 
@@ -46,7 +49,7 @@ def ensure_wal(sf: float) -> tuple[str, int]:
     wal = os.path.join(BENCH_ROOT, f"sf{sf}", "wal")
     stamp = os.path.join(wal, "_params.json")
     params = {"n_events": n_events, "n_segments": n_segments, "seed": 42,
-              "version": 2}
+              "version": 4}
     if os.path.exists(stamp):
         with open(stamp) as f:
             if json.load(f) == params:
@@ -104,7 +107,7 @@ def run_bench() -> dict:
 
     runs = []
     lake = None
-    for _ in range(3):
+    for _ in range(2 if LIGHT else 3):
         if lake:
             shutil.rmtree(lake, ignore_errors=True)
         lake = tempfile.mkdtemp(prefix="etl_ray_benchlake_")
@@ -114,6 +117,41 @@ def run_bench() -> dict:
     replay_sec = min(runs)
     queries["cdc_replay"] = replay_sec
     applied = sum(c.events_in for c in commits)
+
+    if LIGHT:
+        # a CPU-bound op at the same two levels: the e2e replay on this
+        # shared-memory/disk box is bandwidth-bound (see BASELINE.md), so the
+        # scaling evidence for compute is carried by this number
+        import ray.data as rd
+
+        from etl_ray.ops.dedup import minhash_lsh_candidates
+
+        docs_path = os.path.join(SF_DIR, "documents.parquet")
+        if os.path.exists(docs_path):
+            def mh():
+                return minhash_lsh_candidates(
+                    rd.read_parquet(docs_path, columns=["doc_id", "text"])
+                ).count()
+
+            mh()
+            t0 = time.monotonic()
+            mh()
+            queries["dedup_minhash_lsh"] = round(time.monotonic() - t0, 3)
+        n_live = read_lake(lake).count()
+        shutil.rmtree(lake, ignore_errors=True)
+        ray.shutdown()
+        return {
+            "metric": "cdc_replay_wall_sec",
+            "value": round(replay_sec, 3),
+            "unit": "sec",
+            "queries": queries,
+            "sf": sf,
+            "num_cpus": NCPUS,
+            "events_applied": applied,
+            "events_per_sec": round(applied / replay_sec, 1),
+            "replay_runs_sec": runs,
+            "rows_live": n_live,
+        }
 
     t0 = time.monotonic()
     compact(lake, cfg, force=True)
@@ -137,8 +175,16 @@ def run_bench() -> dict:
         if fn.startswith("seg-01"):
             os.remove(os.path.join(wal, fn))
 
-    # training-data ops over the driver tables
+    # training-data ops over the driver tables (each timed on its second
+    # run: the first pays the sandbox's first-touch page faults in every
+    # fresh worker, which is not the op's cost)
     import ray.data as rd
+
+    def timed_op(fn):
+        fn()
+        t0 = time.monotonic()
+        fn()
+        return round(time.monotonic() - t0, 3)
 
     docs_path = os.path.join(SF_DIR, "documents.parquet")
     emb_path = os.path.join(SF_DIR, "embeddings.parquet")
@@ -146,21 +192,12 @@ def run_bench() -> dict:
         from etl_ray.ops.dedup import exact_dedup, minhash_lsh_candidates
         from etl_ray.ops.textops import quality_scores
 
-        t0 = time.monotonic()
-        exact_dedup(rd.read_parquet(docs_path, columns=["doc_id", "text"])
-                    ).count()
-        queries["dedup_exact"] = round(time.monotonic() - t0, 3)
-
-        t0 = time.monotonic()
-        minhash_lsh_candidates(
-            rd.read_parquet(docs_path, columns=["doc_id", "text"]),
-            concurrency=max(2, NCPUS - 2)).count()
-        queries["dedup_minhash_lsh"] = round(time.monotonic() - t0, 3)
-
-        t0 = time.monotonic()
-        quality_scores(rd.read_parquet(docs_path, columns=["doc_id", "text"])
-                       ).count()
-        queries["text_quality"] = round(time.monotonic() - t0, 3)
+        queries["dedup_exact"] = timed_op(lambda: exact_dedup(
+            rd.read_parquet(docs_path, columns=["doc_id", "text"])).count())
+        queries["dedup_minhash_lsh"] = timed_op(lambda: minhash_lsh_candidates(
+            rd.read_parquet(docs_path, columns=["doc_id", "text"])).count())
+        queries["text_quality"] = timed_op(lambda: quality_scores(
+            rd.read_parquet(docs_path, columns=["doc_id", "text"])).count())
 
     if os.path.exists(emb_path):
         import numpy as np
@@ -170,11 +207,10 @@ def run_bench() -> dict:
 
         qt = pq.read_table(emb_path, columns=["vec_id", "embedding"]).slice(0, 16)
         Q = np.array(qt["embedding"].to_pylist(), dtype=np.float64)
-        t0 = time.monotonic()
-        cosine_topk(rd.read_parquet(emb_path, columns=["vec_id", "embedding"]),
-                    qt["vec_id"].to_numpy(zero_copy_only=False), Q, k=10,
-                    concurrency=max(2, NCPUS - 2))
-        queries["ann_cosine_topk"] = round(time.monotonic() - t0, 3)
+        queries["ann_cosine_topk"] = timed_op(lambda: cosine_topk(
+            rd.read_parquet(emb_path, columns=["vec_id", "embedding"]),
+            qt["vec_id"].to_numpy(zero_copy_only=False), Q, k=10,
+            concurrency=max(2, NCPUS - 2)))
 
     shutil.rmtree(lake, ignore_errors=True)
     ray.shutdown()
@@ -194,7 +230,7 @@ def run_bench() -> dict:
 
 def run_scaling() -> dict:
     def run(ncpu: int) -> dict:
-        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu), GRAFT_BENCH_LIGHT="1")
         out = subprocess.run(
             [sys.executable, os.path.abspath(__file__)], env=env,
             capture_output=True, text=True, check=True,
@@ -205,8 +241,12 @@ def run_scaling() -> dict:
     lo, hi = 8, 32
     r_lo, r_hi = run(lo), run(hi)
     eff = (r_lo["value"] / r_hi["value"]) / (hi / lo)
+    mh_lo = r_lo["queries"].get("dedup_minhash_lsh")
+    mh_hi = r_hi["queries"].get("dedup_minhash_lsh")
+    cpu_eff = round((mh_lo / mh_hi) / (hi / lo), 3) if mh_lo and mh_hi else None
     return {
         "metric": "scaling_efficiency",
+        "cpu_bound_scaling_efficiency": cpu_eff,
         "value": round(eff, 3),
         "unit": "ratio",
         "sec_8": r_lo["value"],

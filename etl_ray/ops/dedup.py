@@ -86,10 +86,61 @@ def _shingle_hashes(text: str, n: int = 3) -> np.ndarray:
     return np.unique(hs)
 
 
+_SHINGLE_C = np.uint64(0x9E3779B97F4A7C15)  # odd golden-ratio multiplier
+
+
+def _word_shingle_hashes(word_hashes: np.ndarray, doc_of_word: np.ndarray,
+                         n: int) -> tuple:
+    """Vectorized word n-gram shingle hashes across ALL docs of a batch.
+
+    Shingle hash = polynomial fold of n consecutive word hashes (uint64
+    wraparound); shingles that would straddle a doc boundary are masked out.
+    Docs shorter than n words get one whole-doc shingle. Returns
+    (flat shingle hashes, doc index per shingle).
+    """
+    m = len(word_hashes)
+    if m == 0:
+        return (np.zeros(0, np.uint64), np.zeros(0, np.int64))
+    acc = word_hashes.copy()
+    for k in range(1, n):
+        shifted = np.empty_like(word_hashes)
+        shifted[:m - k] = word_hashes[k:]
+        shifted[m - k:] = 0
+        acc = acc * _SHINGLE_C + shifted
+    if n > 1:
+        valid = np.zeros(m, dtype=bool)
+        valid[: m - (n - 1)] = doc_of_word[: m - (n - 1)] == doc_of_word[n - 1:]
+    else:
+        valid = np.ones(m, dtype=bool)
+    sh = acc[valid]
+    docs = doc_of_word[valid]
+    # short docs (< n words): one fold over what exists
+    present = np.unique(doc_of_word)
+    covered = np.unique(docs)
+    missing = np.setdiff1d(present, covered, assume_unique=True)
+    if len(missing):
+        extra_h, extra_d = [], []
+        starts = np.searchsorted(doc_of_word, missing, side="left")
+        ends = np.searchsorted(doc_of_word, missing, side="right")
+        for d, s, e in zip(missing, starts, ends):
+            h = np.uint64(0)
+            for w in word_hashes[s:e]:
+                h = h * _SHINGLE_C + w
+            extra_h.append(h)
+            extra_d.append(d)
+        sh = np.concatenate([sh, np.array(extra_h, np.uint64)])
+        docs = np.concatenate([docs, np.array(extra_d, np.int64)])
+        order = np.argsort(docs, kind="stable")
+        sh, docs = sh[order], docs[order]
+    return sh, docs
+
+
 class MinHasher:
-    """Actor-pool stage: the (a, b) hash coefficients are drawn once per
-    actor in __init__ from a fixed seed (reference pattern: dictionaries
-    loaded once per process, SURVEY.md §2.6)."""
+    """Stateful minhash stage: hash coefficients drawn once per worker from a
+    fixed seed (reference pattern: per-process dictionaries, SURVEY.md §2.6).
+    Fully vectorized: word hashes via pandas hash_array, shingles via a
+    polynomial fold, per-doc minima via ``np.minimum.reduceat`` — no Python
+    loop over documents in the hot path."""
 
     def __init__(self, num_perm: int = 64, bands: int = 16, shingle_n: int = 3,
                  text_col: str = "text", id_col: str = "doc_id", seed: int = 97):
@@ -103,34 +154,63 @@ class MinHasher:
         self.text_col = text_col
         self.id_col = id_col
 
-    def signature(self, text: str) -> np.ndarray:
-        sh = _shingle_hashes(text, self.shingle_n)
-        if len(sh) == 0:
-            return np.zeros(self.num_perm, dtype=np.uint64)
-        # (P, S) permuted hashes → min over shingles, vectorized
-        v = (np.outer(self.a, sh) + self.b[:, None]) % MERSENNE
+    def _minhash(self, sh: np.ndarray) -> np.ndarray:
+        """(S,) shingle hashes → (P,) signature."""
+        v = (self.a[:, None] * (sh[None, :] % MERSENNE) + self.b[:, None]) \
+            % MERSENNE
         return v.min(axis=1)
+
+    def signature(self, text: str) -> np.ndarray:
+        words = np.array(text.split(), dtype=object)
+        if len(words) == 0:
+            return np.zeros(self.num_perm, dtype=np.uint64)
+        wh = pd.util.hash_array(words)
+        sh, _ = _word_shingle_hashes(wh, np.zeros(len(wh), np.int64),
+                                     self.shingle_n)
+        return self._minhash(sh)
+
+    def signatures(self, texts: pd.Series) -> np.ndarray:
+        """(n_docs, num_perm) signatures, vectorized across the batch."""
+        n = len(texts)
+        words = texts.str.split()
+        lengths = words.str.len().fillna(0).to_numpy(dtype=np.int64)
+        doc_of_word = np.repeat(np.arange(n), lengths)
+        flat = words.explode().dropna().to_numpy(dtype=object)
+        sigs = np.zeros((n, self.num_perm), dtype=np.uint64)
+        if len(flat) == 0:
+            return sigs
+        wh = pd.util.hash_array(flat)
+        sh, docs = _word_shingle_hashes(wh, doc_of_word, self.shingle_n)
+        if len(sh) == 0:
+            return sigs
+        # per-(perm, doc) minima in one reduceat per perm dimension
+        v = (self.a[:, None] * (sh[None, :] % MERSENNE) + self.b[:, None]) \
+            % MERSENNE
+        starts = np.searchsorted(docs, np.arange(n), side="left")
+        present = np.unique(docs)
+        mins = np.minimum.reduceat(v, starts[present], axis=1)
+        sigs[present] = mins.T
+        return sigs
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         """Explode each doc into one row per LSH band:
         (band, band_hash, doc_id)."""
         texts = normalize_for_fingerprint(batch[self.text_col].to_pandas())
-        ids = batch[self.id_col].to_pylist()
+        ids = batch[self.id_col].to_numpy(zero_copy_only=False)
         n = len(ids)
-        bands_out, hashes_out, ids_out = [], [], []
-        for i in range(n):
-            sig = self.signature(texts.iloc[i])
-            sig_bands = sig.reshape(self.bands, self.rows_per_band)
-            for bi in range(self.bands):
-                h = hashlib.md5(sig_bands[bi].tobytes()).hexdigest()[:16]
-                bands_out.append(bi)
-                hashes_out.append(h)
-                ids_out.append(ids[i])
+        sigs = self.signatures(texts)  # (n, P)
+        sb = sigs.reshape(n, self.bands, self.rows_per_band)
+        # band key = polynomial fold of the band's minhash values
+        key = np.zeros((n, self.bands), dtype=np.uint64)
+        for r in range(self.rows_per_band):
+            key = key * _SHINGLE_C + sb[:, :, r]
+        band_idx = np.tile(np.arange(self.bands, dtype=np.int32), n)
         return pa.table(
             {
-                "band": pa.array(bands_out, pa.int32()),
-                "band_hash": pa.array(hashes_out, pa.string()),
-                "doc_id": pa.array(ids_out),
+                "band": pa.array(band_idx),
+                "band_hash": pa.array(key.reshape(-1).astype(np.int64)
+                                      .view(np.uint64)),
+                "doc_id": pa.array(np.repeat(ids, self.bands)),
             }
         )
 
