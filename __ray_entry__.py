@@ -169,6 +169,18 @@ def _q_dedup_minhash(sf_dir: str):
     return out.sort_values(["id_a", "id_b"]).reset_index(drop=True)
 
 
+def _q_dedup_ngram_jaccard(sf_dir: str):
+    import ray.data as rd
+
+    from etl_ray.ops.dedup import minhash_near_dups
+
+    ds = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                         columns=["doc_id", "text"])
+    out = minhash_near_dups(ds, threshold=0.3, concurrency=2)
+    out["jaccard"] = out["jaccard"].round(4)
+    return out
+
+
 def _q_dedup_simhash(sf_dir: str):
     import ray.data as rd
 
@@ -399,6 +411,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # training-data ops
         "dedup_exact": _q_dedup_exact,
         "dedup_minhash_lsh": _q_dedup_minhash,
+        "dedup_ngram_jaccard": _q_dedup_ngram_jaccard,
         "dedup_simhash": _q_dedup_simhash,
         "dedup_embedding_cosine": _q_dedup_embedding,
         "dedup_lsh_embedding": _q_dedup_lsh_embedding,

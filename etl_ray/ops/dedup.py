@@ -358,3 +358,37 @@ def simhash_candidates(ds, *, max_hamming: int = 3, text_col: str = "text",
     return cand.groupby(["id_a", "id_b"]).map_groups(
         lambda g: g.head(1), batch_format="pandas"
     )
+
+
+def minhash_near_dups(ds, *, threshold: float = 0.5, num_perm: int = 64,
+                      bands: int = 16, shingle_n: int = 3,
+                      text_col: str = "text", id_col: str = "doc_id",
+                      concurrency: int = 4):
+    """Full near-dup pipeline: MinHash-LSH candidates → exact n-gram Jaccard
+    verification over ONLY the candidate docs.
+
+    The verify step fetches just the candidate documents (a distributed
+    filter against the broadcast candidate-id set — candidates are tiny by
+    LSH design) and checks exact Jaccard on the driver. Returns a pandas
+    DataFrame (id_a, id_b, jaccard ≥ threshold).
+    """
+    import pyarrow.compute as pc
+
+    cand = minhash_lsh_candidates(
+        ds, num_perm=num_perm, bands=bands, shingle_n=shingle_n,
+        text_col=text_col, id_col=id_col, concurrency=concurrency,
+    ).to_pandas()
+    if cand.empty:
+        return pd.DataFrame({"id_a": [], "id_b": [], "jaccard": []})
+    ids = sorted(set(cand["id_a"]) | set(cand["id_b"]))
+    id_set = pa.array(ids)
+    docs = (
+        ds.map_batches(
+            lambda t: t.filter(pc.is_in(t[id_col], value_set=id_set)),
+            batch_format="pyarrow",
+        )
+        .to_pandas()
+    )
+    out = verify_jaccard(cand, docs, threshold=threshold, n=shingle_n,
+                         text_col=text_col, id_col=id_col)
+    return out.sort_values(["id_a", "id_b"]).reset_index(drop=True)

@@ -157,3 +157,17 @@ def test_frame_sample_thinning():
     t = pa.table({"doc_id": pa.array(range(25), pa.int64())})
     out = frame_sample(rd.from_arrow(t), every_nth=10).to_pandas()
     assert set(out["doc_id"]) == {0, 10, 20, 24}
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_minhash_near_dups_verified():
+    from etl_ray.ops.dedup import minhash_near_dups
+
+    out = minhash_near_dups(docs_ds(), threshold=0.5, concurrency=2)
+    pairs = set(map(tuple, out[["id_a", "id_b"]].to_numpy()))
+    assert (0, 1) in pairs  # exact dup, jaccard 1.0
+    assert out[(out["id_a"] == 0) & (out["id_b"] == 1)].iloc[0][
+        "jaccard"] == 1.0
+    # near dup 0-2 survives the 0.5 threshold; unrelated pairs do not
+    assert (0, 2) in pairs or (1, 2) in pairs
+    assert (3, 4) not in pairs
