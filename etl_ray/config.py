@@ -64,9 +64,17 @@ def crc32_part(doc_ids: pa.Array, num_partitions: int) -> np.ndarray:
 
 def modulo_part(doc_ids: pa.Array, num_partitions: int) -> np.ndarray:
     """Partition fn for integer doc_ids, reproducible in ANSI SQL
-    (``doc_id % P``) — used by the driver-verified oracle queries."""
-    ids = np.asarray(doc_ids.to_numpy(zero_copy_only=False), dtype=np.int64)
-    return np.abs(ids) % num_partitions
+    (``doc_id % P``) — used by the driver-verified oracle queries.
+
+    Null / empty / non-numeric doc_ids route to partition 0 — they are
+    quarantined downstream (same contract as ``hashed_part``); a corrupt
+    event must never kill the commit."""
+    import pandas as pd
+
+    vals = pd.to_numeric(
+        pd.Series(doc_ids.to_numpy(zero_copy_only=False)), errors="coerce"
+    ).fillna(0).to_numpy(dtype=np.int64)
+    return np.abs(vals) % num_partitions
 
 
 @dataclass
@@ -106,8 +114,11 @@ def _tokens_validator(vocab_size: int, max_tokens: int):
             zero_copy_only=False).astype(np.int64)
         if "n_tok" in table.column_names:
             n_tok = pc.cast(table["n_tok"], pa.int64()).combine_chunks()
-            n_tok_np = n_tok.fill_null(-(2**62)).to_numpy(zero_copy_only=False)
-            bad_len = (n_tok_np != lengths)
+            null_n_tok = pc.is_null(n_tok).to_numpy(zero_copy_only=False)
+            n_tok_np = n_tok.fill_null(0).to_numpy(zero_copy_only=False)
+            # null n_tok = "no length claim" (accepted; matches the oracle
+            # and lets pre-evolution segments pass after conform fills nulls)
+            bad_len = (n_tok_np != lengths) & ~null_n_tok
         else:
             bad_len = np.zeros(n, dtype=bool)
         oversize = lengths > max_tokens
@@ -182,7 +193,23 @@ class EngineConfig:
     compact_streaming_threshold_bytes: int = 512 << 20
     compact_rows_per_range: int = 1 << 20
     max_segments_per_commit: int = 1_000_000
+    # cap a commit by INPUT BYTES (file sizes driver-side; always >=1
+    # segment): a catch-up replay of a huge backlog becomes several bounded
+    # commits instead of one unbounded one. None = uncapped. Sized so one
+    # bucket (~ cap / n_buckets, x skew) fits a worker heap.
+    max_bytes_per_commit: Optional[int] = 8 << 30
+    # apply-side pre-collapse threshold: a bucket's accumulated exchange
+    # chunks are LWW-collapsed per (shard, doc) past this many rows, so
+    # peak memory ~ collapsed state + one chunk even for backlog buckets
+    apply_chunk_rows: int = 1 << 21
+    # fragment parquet codec ("lz4" fast / "zstd" smaller — bytes moved
+    # through the exchange are the e2e bottleneck on shared storage)
+    exchange_compression: str = "lz4"
     skip_count: int = 0  # sampling relief valve (reference etl/globals.go:326-330)
+    # abort the commit (manifest unflipped, CommitAborted raised) when
+    # quarantined/events_in exceeds this ratio — the reference's TaskError
+    # gate (etl/etl.go:116-117). None = never abort (count + quarantine only).
+    max_failure_ratio: Optional[float] = None
     # "storage": disk/shared-fs hash exchange (fast, scales, default);
     # "sort": Ray Data sort-based groupby shuffle (no shared fs needed)
     exchange: str = "storage"

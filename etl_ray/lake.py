@@ -38,16 +38,36 @@ class MergeRead:
         self.schema = schema_from_hex(schema_hex)
         self.include_seq = include_seq
         self.columns = columns
+        if columns:
+            # prune at the read: fetch only requested columns plus the
+            # merge-control set. For the flagship table the tokens column is
+            # ~95% of the bytes — a doc_id-only read must not touch it.
+            need = set(columns) | {"doc_id", "sequence_number", "op"}
+            self.read_columns = [f.name for f in self.schema if f.name in need]
+            self.read_schema = pa.schema(
+                [f for f in self.schema if f.name in need])
+        else:
+            self.read_columns = None
+            self.read_schema = self.schema
+
+    def _read(self, path: str) -> pa.Table:
+        if self.read_columns is None:
+            return pq.read_table(path)
+        # older files may predate evolved columns — intersect per file;
+        # conform (in merge_runs) null-fills what's missing
+        avail = set(pq.read_schema(path).names)
+        cols = [c for c in self.read_columns if c in avail]
+        return pq.read_table(path, columns=cols)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         outs = []
         for row in batch.to_pylist():
             files = row["files"]
             tables = [
-                pq.read_table(os.path.join(self.lake_dir, f)) for f in files
+                self._read(os.path.join(self.lake_dir, f)) for f in files
             ]
             merged = merge_runs(
-                tables, drop_deletes=True, target_schema=self.schema
+                tables, drop_deletes=True, target_schema=self.read_schema
             )
             drop = [c for c in CONTROL_DROP if c in merged.column_names]
             if not self.include_seq and "sequence_number" in merged.column_names:

@@ -250,6 +250,11 @@ def minhash_lsh_candidates(ds, *, num_perm: int = 64, bands: int = 16,
 
 
 def jaccard_of_texts(text_a: str, text_b: str, n: int = 3) -> float:
+    # normalize exactly like candidate generation (MinHasher applies
+    # normalize_for_fingerprint) so verification measures the same quantity
+    # the LSH models — case/whitespace-only variants verify as jaccard 1.0
+    text_a = " ".join((text_a or "").lower().split())
+    text_b = " ".join((text_b or "").lower().split())
     a = set(_shingle_hashes(text_a, n).tolist())
     b = set(_shingle_hashes(text_b, n).tolist())
     if not a and not b:

@@ -34,6 +34,17 @@ from etl_ray.stages.validate import Validator
 from etl_ray.state.manifest import Manifest
 from etl_ray.state.stats import CommitStats
 
+class CommitAborted(RuntimeError):
+    """Raised when a commit's quarantine ratio exceeds
+    ``EngineConfig.max_failure_ratio`` — the analog of the reference's
+    TaskError on >10% test failures (/root/reference/etl/etl.go:116-117,
+    parser/ndt7_result.go:40-51). The manifest is NOT flipped."""
+
+    def __init__(self, msg: str, stats=None):
+        super().__init__(msg)
+        self.stats = stats
+
+
 # Control columns every changelog carries, as an Arrow schema fragment.
 _CONTROL_SCHEMA = pa.schema(
     [
@@ -60,13 +71,16 @@ def _target_schema(manifest: Manifest, seg_paths: List[str],
 
 
 def _salted_parts(manifest: Manifest, config: EngineConfig) -> frozenset:
-    commits = manifest.lineage.get("commits", [])
-    if not commits:
-        return frozenset()
-    last = commits[-1].get("per_partition", {})
-    return frozenset(
-        int(k) for k, v in last.items() if v.get("rows", 0) >= config.salt_threshold
-    )
+    # scan back to the most recent REPLAY commit: compaction entries carry no
+    # per_partition key and must not reset hot-partition salting
+    for c in reversed(manifest.lineage.get("commits", [])):
+        last = c.get("per_partition")
+        if last is not None:
+            return frozenset(
+                int(k) for k, v in last.items()
+                if v.get("rows", 0) >= config.salt_threshold
+            )
+    return frozenset()
 
 
 def _storage_exchange_apply(seg_paths, lake_dir, commit_id, config, target,
@@ -102,9 +116,8 @@ def _storage_exchange_apply(seg_paths, lake_dir, commit_id, config, target,
         batch_format="pyarrow",
         batch_size=config.batch_size,
     ).to_pandas()
-    del frag_stats  # lineage is recomputed exactly from apply output
 
-    items = bucket_descriptors(exch)
+    items = bucket_descriptors(frag_stats, n_buckets)
     if not items:
         from etl_ray.stages.apply import STATS_SCHEMA
 
@@ -117,12 +130,12 @@ def _storage_exchange_apply(seg_paths, lake_dir, commit_id, config, target,
         ctx.target_min_block_size = 0
         desc = rd.from_items(items, override_num_blocks=len(items))
         pool = dict(
-            fn_constructor_args=(lake_dir, commit_id, config),
+            fn_constructor_args=(lake_dir, commit_id, config, exch, n_buckets),
             concurrency=min(concurrency, len(items)),
             num_cpus=1,
         ) if config.use_actor_pool else {}
         fn = ApplyBucket if config.use_actor_pool else ApplyBucket(
-            lake_dir, commit_id, config)
+            lake_dir, commit_id, config, exch, n_buckets)
         stats_tbl = desc.map_batches(
             fn,
             batch_format="pyarrow",
@@ -173,6 +186,19 @@ def replay_once(
     )
     if not segs:
         return None
+    if config.max_bytes_per_commit is not None and len(segs) > 1:
+        # bound a commit by input bytes (driver-side stat of the tiny
+        # work-list): a catch-up backlog becomes several bounded commits,
+        # so bucket size stays ~ cap / n_buckets instead of the backlog
+        import os as _os
+
+        total, cut = 0, len(segs)
+        for i, s in enumerate(segs):
+            total += _os.path.getsize(s.path)
+            if total > config.max_bytes_per_commit and i > 0:
+                cut = i
+                break
+        segs = segs[:cut]
     seg_paths = [s.path for s in segs]
     target = _target_schema(manifest, seg_paths, config)
     commit_id = manifest.commit_id
@@ -236,6 +262,22 @@ def replay_once(
         pp["rows_per_sec"] = round(pp["rows"] / pp["sec"], 1) if pp["sec"] else None
     cs.valid = cs.events_in - cs.quarantined
     cs.wall_sec = time.monotonic() - t0
+
+    if (
+        config.max_failure_ratio is not None
+        and cs.events_in > 0
+        and cs.quarantined / cs.events_in > config.max_failure_ratio
+    ):
+        # the reference's TaskError gate (>10% of tests failing fails the
+        # task, /root/reference/etl/etl.go:116-117): leave the manifest
+        # UNFLIPPED so the bad batch is retried/inspected, never silently
+        # committed. Data writes are deterministic → a later retry after the
+        # poison source is fixed overwrites them byte-for-byte.
+        raise CommitAborted(
+            f"commit {commit_id}: {cs.quarantined}/{cs.events_in} events "
+            f"quarantined (> max_failure_ratio={config.max_failure_ratio})",
+            stats=cs,
+        )
 
     manifest.version = new_version
     manifest.set_schema(target)

@@ -33,6 +33,30 @@ def lww_last_per_doc(table: pa.Table, *, id_col: str = "doc_id",
     return table.filter(mask)
 
 
+def lww_last_per_keys(table: pa.Table, key_cols: list,
+                      seq_col: str = "sequence_number") -> pa.Table:
+    """Keep, per composite key, the row with the largest sequence_number.
+
+    Used by the bounded-memory apply path to pre-collapse accumulated
+    exchange chunks per (__shard, doc_id): max-by-seq is associative, so
+    collapsing partial runs then collapsing the concatenation of the
+    partials equals one global collapse."""
+    if len(table) == 0:
+        return table
+    table = table.sort_by(
+        [(k, "ascending") for k in key_cols] + [(seq_col, "ascending")]
+    )
+    n = len(table)
+    # row i ends a run (is kept) iff ANY key changes between i and i+1
+    last = np.zeros(n, dtype=bool)
+    last[n - 1] = True
+    for k in key_cols:
+        col = table[k].combine_chunks()
+        neq = pc.not_equal(col.slice(0, n - 1), col.slice(1, n - 1))
+        last[: n - 1] |= neq.fill_null(True).to_numpy(zero_copy_only=False)
+    return table.filter(pa.array(last))
+
+
 def drop_tombstones(table: pa.Table, *, op_col: str = "op") -> pa.Table:
     if op_col not in table.column_names or len(table) == 0:
         return table
