@@ -368,6 +368,22 @@ def _q_archive_ingest(sf_dir: str):
     return out.sort_values("doc_id").reset_index(drop=True)
 
 
+def _q_ss_parse(sf_dir: str):
+    """Sidestream K:/C: schema-on-read text: archive → 1→N typed rows with
+    canonical web100 renames (reference parser/ss.go:59-312)."""
+    from etl_ray.pipelines.telemetry import ss_parse
+
+    return ss_parse(sf_dir)
+
+
+def _q_snaplog_deltas(sf_dir: str):
+    """Snaplog self-describing binary decode + per-connection delta stream
+    (reference web100/web100.go:164-497, parser/ndt.go:389-450)."""
+    from etl_ray.pipelines.telemetry import snaplog_deltas
+
+    return snaplog_deltas(sf_dir)
+
+
 def _q_multimodal(sf_dir: str):
     import ray.data as rd
 
@@ -419,6 +435,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sessionize": _q_sessionize,
         "rolling_avg": _q_rolling_avg,
         "archive_ingest": _q_archive_ingest,
+        "ss_parse": _q_ss_parse,
+        "snaplog_deltas": _q_snaplog_deltas,
         "text_token_counts": _q_text_tokens,
         "text_quality": _q_text_quality,
         "doc_fingerprint": _q_doc_fingerprint,
@@ -570,6 +588,36 @@ SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars,
             ELSE len(regexp_split_to_array(trim(text), '\\s+')) END
             AS BIGINT) AS n_words
 FROM documents ORDER BY doc_id
+""",
+        "ss_parse": """
+SELECT user_id AS cid, event_id AS poll_time,
+       '10.0.0.' || CAST(user_id % 200 + 1 AS VARCHAR) AS local_address,
+       '192.0.2.' || CAST(event_id % 250 + 1 AS VARCHAR) AS rem_address,
+       5000 + event_id % 1000 AS rem_port,
+       event_id * 1000000 + user_id % 1000000 AS start_time_stamp,
+       CAST(round(value * 100) AS BIGINT) AS data_octets_out,
+       event_id % 997 AS segs_out,
+       1489539600 AS log_time
+FROM events ORDER BY cid, poll_time
+""",
+        "snaplog_deltas": """
+WITH o AS (
+  SELECT user_id AS cid, event_id,
+         row_number() OVER w - 1 AS snap_index,
+         sum(CAST(round(value * 100) AS BIGINT)) OVER
+           (PARTITION BY user_id ORDER BY event_id
+            ROWS UNBOUNDED PRECEDING) AS data_octets_out,
+         event_id % 997 AS segs_out
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY event_id)
+)
+SELECT cid, snap_index, event_id AS snap_time_stamp, data_octets_out,
+       segs_out,
+       data_octets_out - lag(data_octets_out) OVER w AS d_data_octets_out,
+       segs_out - lag(segs_out) OVER w AS d_segs_out
+FROM o
+WINDOW w AS (PARTITION BY cid ORDER BY snap_index)
+ORDER BY cid, snap_index
 """,
         "text_token_counts": f"""
 SELECT doc_id,

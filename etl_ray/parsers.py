@@ -104,9 +104,15 @@ class TextStatsParser:
         ]
 
 
-REGISTRY: Dict[str, object] = {
-    p.datatype: p for p in (JsonlParser(), KeyValueParser(), TextStatsParser())
-}
+def _default_parsers():
+    from etl_ray.sidestream import SidestreamParser
+    from etl_ray.snaplog import SnaplogParser
+
+    return (JsonlParser(), KeyValueParser(), TextStatsParser(),
+            SidestreamParser(), SnaplogParser())
+
+
+REGISTRY: Dict[str, object] = {p.datatype: p for p in _default_parsers()}
 
 
 def register(parser) -> None:
@@ -114,7 +120,13 @@ def register(parser) -> None:
 
 
 def classify(name: str, registry: Optional[dict] = None) -> Optional[str]:
-    """First registered parser claiming the member (IsParsable dispatch)."""
+    """First registered parser claiming the member (IsParsable dispatch).
+    Compression suffixes are transparent: the archive source has already
+    decoded ``.gz``/``.zst`` members, so ``x.web100.zst`` dispatches as
+    ``x.web100``."""
+    for ext in (".gz", ".zst"):
+        if name.endswith(ext):
+            name = name[: -len(ext)]
     for datatype, p in (registry or REGISTRY).items():
         _, ok = p.is_parsable(name)
         if ok:

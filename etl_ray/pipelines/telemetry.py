@@ -1,0 +1,147 @@
+"""Telemetry-format pipelines: sidestream text and snaplog binary archives
+derived deterministically from the events table, run through the REAL
+archive → parser path, and verifiable value-for-value by DuckDB SQL over the
+same events (the driver's oracle contract).
+
+The generators are test/bench harness adapters (driver-side pandas over the
+tiny events table); the PIPELINES are the engine paths under test:
+``read_archives → map_batches(parser/decoder)``.
+"""
+
+from __future__ import annotations
+
+import io
+import os
+import tarfile
+import tempfile
+
+import numpy as np
+import pandas as pd
+import pyarrow.parquet as pq
+
+SS_HEADER = ("K: cid PollTime LocalAddress LocalPort RemAddress RemPort "
+             "StartTimeStamp StartTimeUsec DataBytesOut PktsOut")
+SS_LOGTIME_NAME = "20170315T01:00:00Z"  # epoch 1489539600
+
+
+def _events_frame(sf_dir: str) -> pd.DataFrame:
+    t = pq.read_table(os.path.join(sf_dir, "events.parquet"),
+                      columns=["event_id", "user_id", "value"])
+    df = t.to_pandas().sort_values("event_id").reset_index(drop=True)
+    df["cents"] = np.round(df["value"].to_numpy() * 100).astype(np.int64)
+    return df
+
+
+def _tar_of(members) -> str:
+    d = tempfile.mkdtemp(prefix="etl_ray_telemetry_")
+    path = os.path.join(d, "telemetry.tgz")
+    with tarfile.open(path, "w:gz") as tf:
+        for name, blob in members:
+            info = tarfile.TarInfo(name)
+            info.size = len(blob)
+            tf.addfile(info, io.BytesIO(blob))
+    return path
+
+
+def generate_ss_archive(sf_dir: str) -> str:
+    """One ``.web100`` sidestream file per user_id: one C: row per event
+    (ordered by event_id), legacy header names, derived field values the
+    oracle SQL can recompute."""
+    df = _events_frame(sf_dir)
+    members = []
+    for user, g in df.groupby("user_id", sort=True):
+        lip = f"10.0.0.{int(user) % 200 + 1}"
+        lines = [SS_HEADER]
+        for r in g.itertuples(index=False):
+            rip = f"192.0.2.{int(r.event_id) % 250 + 1}"
+            lines.append(
+                f"C: {int(user)} {int(r.event_id)} {lip} 80 {rip} "
+                f"{5000 + int(r.event_id) % 1000} {int(r.event_id)} "
+                f"{int(user) % 1_000_000} {int(r.cents)} "
+                f"{int(r.event_id) % 997}"
+            )
+        name = f"{SS_LOGTIME_NAME}_{lip}_{int(user)}.web100"
+        members.append((name, "\n".join(lines).encode()))
+    return _tar_of(members)
+
+
+def ss_parse(sf_dir: str) -> pd.DataFrame:
+    """Engine path: archive → member iter → SidestreamParser (1→N typed
+    rows, canonical renames, StartTimeStamp+Usec combine)."""
+    import json
+
+    from etl_ray.parsers import parse_archives
+
+    tar = generate_ss_archive(sf_dir)
+    parsed = parse_archives([tar]).to_pandas()
+    ok = parsed[parsed["error"].isna() & (parsed["datatype"] == "ss")]
+    rows = pd.json_normalize(ok["payload"].map(json.loads))
+    out = pd.DataFrame({
+        "cid": rows["cid"].astype("int64"),
+        "poll_time": rows["PollTime"].astype("int64"),
+        "local_address": rows["LocalAddress"],
+        "rem_address": rows["RemAddress"],
+        "rem_port": rows["RemPort"].astype("int64"),
+        "start_time_stamp": rows["StartTimeStamp"].astype("int64"),
+        "data_octets_out": rows["DataOctetsOut"].astype("int64"),
+        "segs_out": rows["SegsOut"].astype("int64"),
+        "log_time": rows["log_time"].astype("int64"),
+    })
+    return out.sort_values(["cid", "poll_time"]).reset_index(drop=True)
+
+
+SNAPLOG_FIELDS = [("SnapTimeStamp", "u32"), ("DataBytesOut", "u64"),
+                  ("PktsOut", "u32")]
+
+
+def generate_snaplog_archive(sf_dir: str) -> str:
+    """One binary ``.snaplog`` per user_id: snapshots = the user's events in
+    event_id order; DataBytesOut is the running cents total (a counter, like
+    web100's monotone octet counters)."""
+    from etl_ray.snaplog import write_snaplog
+
+    df = _events_frame(sf_dir)
+    members = []
+    for user, g in df.groupby("user_id", sort=True):
+        cols = {
+            "SnapTimeStamp": g["event_id"].to_numpy(np.int64),
+            "DataBytesOut": np.cumsum(g["cents"].to_numpy(np.int64)),
+            "PktsOut": g["event_id"].to_numpy(np.int64) % 997,
+        }
+        blob = write_snaplog(SNAPLOG_FIELDS, cols, logtime=1489539600)
+        members.append((f"u{int(user)}.snaplog", blob))
+    return _tar_of(members)
+
+
+def snaplog_deltas(sf_dir: str) -> pd.DataFrame:
+    """Engine path: archive → vectorized binary decode (np.frombuffer over
+    the whole body) → per-connection delta stream (parser/ndt.go:389-450
+    analog as np.diff)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from etl_ray.snaplog import SnaplogDecoder
+    from etl_ray.sources.archive import read_archives
+
+    tar = generate_snaplog_archive(sf_dir)
+    ds = read_archives([tar]).map_batches(
+        SnaplogDecoder(delta_fields=["DataOctetsOut", "SegsOut"]),
+        batch_format="pyarrow",
+    )
+
+    def project(batch: pa.Table) -> pa.Table:
+        hit = pc.extract_regex(batch["member"].combine_chunks(),
+                               r"u(?P<cid>\d+)\.snaplog")
+        cid = pc.cast(pc.struct_field(hit, "cid"), pa.int64())
+        return pa.table({
+            "cid": cid,
+            "snap_index": batch["snap_index"],
+            "snap_time_stamp": batch["SnapTimeStamp"],
+            "data_octets_out": batch["DataOctetsOut"],
+            "segs_out": batch["SegsOut"],
+            "d_data_octets_out": batch["d_DataOctetsOut"],
+            "d_segs_out": batch["d_SegsOut"],
+        })
+
+    out = ds.map_batches(project, batch_format="pyarrow").to_pandas()
+    return out.sort_values(["cid", "snap_index"]).reset_index(drop=True)

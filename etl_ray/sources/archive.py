@@ -86,14 +86,25 @@ class ArchiveReader:
                     continue
                 fh = tf.extractfile(member)
                 data = fh.read() if fh else b""
-                if self.decompress and member.name.endswith(".gz"):
+                name = member.name
+                if self.decompress and name.endswith(".gz"):
                     try:
                         data = gzip.decompress(data)
                     except OSError:
-                        rows.append((path, member.name, member.size, data,
+                        rows.append((path, name, member.size, data,
                                      "bad gzip"))
                         continue
-                rows.append((path, member.name, len(data), data, None))
+                elif self.decompress and name.endswith(".zst"):
+                    # zstd member decode (reference parser/tcpinfo.go:119-126)
+                    # via pyarrow's built-in codec — no external lib needed
+                    try:
+                        data = pa.CompressedInputStream(
+                            pa.BufferReader(data), "zstd").read()
+                    except (OSError, pa.ArrowInvalid):
+                        rows.append((path, name, member.size, data,
+                                     "bad zstd"))
+                        continue
+                rows.append((path, name, len(data), data, None))
         return rows
 
     def __call__(self, batch: pa.Table) -> pa.Table:
