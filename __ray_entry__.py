@@ -146,6 +146,21 @@ def _q_cdc_watermarks(sf_dir: str):
     return pd.DataFrame(rows)
 
 
+def _q_pt_pollution(sf_dir: str):
+    """Pollution-buffer flags (reference parser/pt.go:627-669 analog)."""
+    from etl_ray.pipelines.telemetry import pt_pollution
+
+    return pt_pollution(sf_dir)
+
+
+def _q_cdc_replay_retraction(sf_dir: str):
+    """Retractions generated from later-arriving data change the final lake
+    state through a full CDC replay."""
+    from etl_ray.pipelines.telemetry import cdc_replay_retraction
+
+    return cdc_replay_retraction(sf_dir)
+
+
 # --------------------------------------------------------------- text / dedup
 def _q_dedup_exact(sf_dir: str):
     import ray.data as rd
@@ -417,6 +432,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cdc_replay_evolution": _q_cdc_replay_evolution,
         "cdc_quarantine": _q_cdc_quarantine,
         "cdc_watermarks": _q_cdc_watermarks,
+        "cdc_replay_retraction": _q_cdc_replay_retraction,
+        "pt_pollution": _q_pt_pollution,
         # parser analogs (SURVEY.md §2.3-2.5, §2.8)
         "switch_group_agg": A.switch_group_agg,
         "last_event_summary": A.last_event_summary,
@@ -588,6 +605,44 @@ SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars,
             ELSE len(regexp_split_to_array(trim(text), '\\s+')) END
             AS BIGINT) AS n_words
 FROM documents ORDER BY doc_id
+""",
+        "pt_pollution": """
+WITH b AS (
+  SELECT user_id, event_id, event_id % 17 AS dest,
+         (event_id * 7 + user_id) % 17 AS last_hop,
+         event_id % 3 <> 0 AS complete
+  FROM events
+), w AS (
+  SELECT *, lead(dest, 1) OVER win AS d1, lead(event_id, 1) OVER win AS e1,
+         lead(dest, 2) OVER win AS d2, lead(event_id, 2) OVER win AS e2
+  FROM b WINDOW win AS (PARTITION BY user_id ORDER BY event_id)
+)
+SELECT user_id, event_id, dest, last_hop, complete,
+       (NOT complete AND (COALESCE(d1 = last_hop AND dest <> d1, false)
+                          OR COALESCE(d2 = last_hop AND dest <> d2, false)))
+         AS polluted,
+       CASE WHEN NOT complete AND d1 = last_hop AND dest <> d1 THEN e1
+            WHEN NOT complete AND d2 = last_hop AND dest <> d2 THEN e2
+       END AS retracted_by
+FROM w ORDER BY user_id, event_id
+""",
+        "cdc_replay_retraction": """
+WITH b AS (
+  SELECT user_id, event_id, value, event_type, event_id % 17 AS dest,
+         (event_id * 7 + user_id) % 17 AS last_hop,
+         event_id % 3 <> 0 AS complete
+  FROM events
+), w AS (
+  SELECT *, lead(dest, 1) OVER win AS d1, lead(dest, 2) OVER win AS d2
+  FROM b WINDOW win AS (PARTITION BY user_id ORDER BY event_id)
+)
+SELECT CAST(event_id AS VARCHAR) AS doc_id, event_id AS last_seq,
+       value, event_type
+FROM w
+WHERE NOT (NOT complete
+           AND (COALESCE(d1 = last_hop AND dest <> d1, false)
+                OR COALESCE(d2 = last_hop AND dest <> d2, false)))
+ORDER BY doc_id
 """,
         "ss_parse": """
 SELECT user_id AS cid, event_id AS poll_time,

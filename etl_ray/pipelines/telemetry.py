@@ -145,3 +145,93 @@ def snaplog_deltas(sf_dir: str) -> pd.DataFrame:
 
     out = ds.map_batches(project, batch_format="pyarrow").to_pandas()
     return out.sort_values(["cid", "snap_index"]).reset_index(drop=True)
+
+
+# ---------------------------------------------------- pollution retraction
+def _traceroute_frame(batch):
+    """Deterministic traceroute-shaped fields from events (dest space 0-16,
+    complete on a 2/3 cycle) — reproducible in SQL by construction."""
+    import pyarrow as pa
+
+    eid = batch["event_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+    uid = batch["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+    return pa.table({
+        "user_id": pa.array(uid),
+        "event_id": pa.array(eid),
+        "dest": pa.array(eid % 17),
+        "last_hop": pa.array((eid * 7 + uid) % 17),
+        "complete": pa.array(eid % 3 != 0),
+    })
+
+
+def pt_pollution(sf_dir: str) -> pd.DataFrame:
+    """Pollution-buffer flags over the events stream: a later test whose
+    dest matches a buffered incomplete test's last hop retracts it
+    (reference parser/pt.go:627-669, window=2 buffer analog)."""
+    import ray.data as rd
+
+    from etl_ray.ops.pollution import detect_pollution
+
+    ds = rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                         columns=["event_id", "user_id"])
+    ds = ds.map_batches(_traceroute_frame, batch_format="pyarrow")
+    out = detect_pollution(
+        ds, key_col="user_id", order_col="event_id", dest_col="dest",
+        last_hop_col="last_hop", complete_col="complete", window=2,
+    ).to_pandas()
+    out["retracted_by"] = out["retracted_by"].astype("Int64")
+    return out.sort_values(["user_id", "event_id"]).reset_index(drop=True)
+
+
+def cdc_replay_retraction(sf_dir: str) -> pd.DataFrame:
+    """End-to-end: the pollution stage GENERATES delete events that are
+    replayed through the full CDC engine — retractions change the final
+    lake state (each event is its own doc; polluted docs are deleted)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq_
+    import ray.data as rd
+
+    from etl_ray.config import EngineConfig
+    from etl_ray.ops.pollution import detect_pollution, retraction_events
+    from etl_ray.pipelines import analogs as A
+    from etl_ray.pipelines.replay import replay
+
+    ds = rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                         columns=["event_id", "user_id", "value",
+                                  "event_type"])
+    flags = detect_pollution(
+        ds.map_batches(
+            lambda b: _traceroute_frame(b)
+            .append_column("value", b["value"])
+            .append_column("event_type", b["event_type"]),
+            batch_format="pyarrow",
+        ),
+        key_col="user_id", order_col="event_id", dest_col="dest",
+        last_hop_col="last_hop", complete_col="complete", window=2,
+    ).to_pandas()
+
+    inserts = pd.DataFrame({
+        "op": "insert",
+        "doc_id": flags["event_id"].astype(str),
+        "sequence_number": flags["event_id"].astype("int64"),
+        "value": flags["value"],
+        "event_type": flags["event_type"],
+    })
+    seq_base = int(flags["event_id"].max()) + 1
+    deletes = retraction_events(flags, id_col="event_id",
+                                order_col="event_id", seq_base=seq_base)
+    deletes["value"] = np.nan
+    deletes["event_type"] = None
+    changelog = pd.concat([inserts, deletes], ignore_index=True)
+    changelog = changelog.sort_values("sequence_number")
+
+    wal, lake = A.fresh_dirs("retraction")
+    os.makedirs(wal, exist_ok=True)
+    os.makedirs(lake, exist_ok=True)
+    half = (len(changelog) + 1) // 2
+    for i, piece in enumerate((changelog.iloc[:half], changelog.iloc[half:])):
+        pq_.write_table(pa.Table.from_pandas(piece, preserve_index=False),
+                        os.path.join(wal, f"seg-{i:05d}.parquet"))
+    cfg = EngineConfig(num_partitions=8, payload=A.events_payload())
+    replay(wal, lake, cfg)
+    return A.lake_final_state(lake)
