@@ -25,6 +25,220 @@ _BPE_PAT = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]+"
 _EMB_THRESHOLD = 0.4
 _DECODER_SALT = "etl-ray-fake-decoder"
 
+# ---- sketch-family SQL builders -------------------------------------------
+# The engine's hashing is deliberately portable (md5 word hashes + a uint64
+# polynomial fold with multiplier < 2^62, minhash permutations mod 2^61-1) so
+# DuckDB can recompute the ENTIRE LSH machinery — signatures, banding,
+# bucketing, candidate pairs, exact verification — value-for-value in
+# HUGEINT arithmetic. See etl_ray/ops/dedup.py module docstring.
+_FOLD_C = 0x2545F4914F6CDD1D  # == etl_ray.ops.dedup._SHINGLE_C
+_MERSENNE61 = (1 << 61) - 1
+_MOD64 = 1 << 64
+_NORM_SQL = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
+
+
+def _md5le64_sql(col: str) -> str:
+    """uint64 little-endian of md5(col)'s first 8 bytes (== dedup.md5le64)."""
+    terms = " + ".join(
+        f"CAST(('0x'||substr(md5({col}),{2 * i + 1},2)) AS UBIGINT)*{256 ** i}"
+        for i in range(8))
+    return "(" + terms + ")"
+
+
+def _fold_sql(x: str, y: str) -> str:
+    """One uint64 polynomial-fold step in HUGEINT: (x*C + y) mod 2^64."""
+    return f"((({x}) * {_FOLD_C} + ({y})) % {_MOD64})"
+
+
+def _minhash_perm_values() -> str:
+    """The MinHasher(seed=97) permutation coefficients as VALUES literals."""
+    import numpy as np
+
+    rng = np.random.default_rng(97)
+    a = rng.integers(1, _MERSENNE61, 64, dtype=np.int64)
+    b = rng.integers(0, _MERSENNE61, 64, dtype=np.int64)
+    return ", ".join(f"({i}, {int(a[i])}, {int(b[i])})" for i in range(64))
+
+
+def _minhash_cte() -> str:
+    """Shared CTE chain: docs → word hashes → 3-gram shingle folds →
+    minhash signatures → band keys → candidate pairs."""
+    f = _fold_sql
+    band_fold = f(f(f(f("CAST(0 AS HUGEINT)",
+                        "max(CASE WHEN r=0 THEN m END)"),
+                     "max(CASE WHEN r=1 THEN m END)"),
+                   "max(CASE WHEN r=2 THEN m END)"),
+                 "max(CASE WHEN r=3 THEN m END)")
+    return f"""
+perms(perm, a, b) AS (VALUES {_minhash_perm_values()}),
+docs AS (SELECT doc_id, {_NORM_SQL} AS norm FROM documents),
+warr AS (
+  SELECT doc_id, CASE WHEN norm = '' THEN CAST([] AS VARCHAR[])
+                      ELSE string_split(norm, ' ') END AS ws
+  FROM docs
+),
+wexp AS (
+  SELECT doc_id, generate_subscripts(ws, 1) AS i, unnest(ws) AS w,
+         len(ws) AS nw
+  FROM warr
+),
+words AS (SELECT doc_id, i, {_md5le64_sql('w')} AS h, nw FROM wexp),
+sh AS (
+  SELECT w1.doc_id,
+         CAST({f(f('CAST(w1.h AS HUGEINT)', 'w2.h'), 'w3.h')} AS HUGEINT) AS s
+  FROM words w1
+  JOIN words w2 ON w2.doc_id = w1.doc_id AND w2.i = w1.i + 1
+  JOIN words w3 ON w3.doc_id = w1.doc_id AND w3.i = w1.i + 2
+  UNION ALL
+  SELECT w1.doc_id,
+         CAST(CASE WHEN w1.nw = 1 THEN CAST(w1.h AS HUGEINT)
+              ELSE {f('CAST(w1.h AS HUGEINT)', 'w2.h')} END AS HUGEINT) AS s
+  FROM words w1
+  LEFT JOIN words w2 ON w2.doc_id = w1.doc_id AND w2.i = 2
+  WHERE w1.nw < 3 AND w1.i = 1
+),
+mh0 AS (
+  SELECT doc_id, p.perm, min((p.a * (s % {_MERSENNE61}) + p.b)
+                             % {_MERSENNE61}) AS m
+  FROM sh, perms p GROUP BY doc_id, p.perm
+),
+mh AS (
+  SELECT * FROM mh0
+  UNION ALL
+  SELECT d.doc_id, p.perm, CAST(0 AS HUGEINT) AS m
+  FROM docs d, perms p
+  WHERE d.doc_id NOT IN (SELECT doc_id FROM mh0)
+),
+bandrows AS (SELECT doc_id, perm // 4 AS band, perm % 4 AS r, m FROM mh),
+bandkey AS (
+  SELECT doc_id, band, {band_fold} AS key
+  FROM bandrows GROUP BY doc_id, band
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM bandkey a JOIN bandkey b
+    ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+)"""
+
+
+def _sql_dedup_minhash() -> str:
+    return f"WITH {_minhash_cte()} SELECT id_a, id_b FROM cand ORDER BY 1, 2"
+
+
+def _sql_dedup_ngram_jaccard(threshold: float = 0.3) -> str:
+    return f"""
+WITH {_minhash_cte()},
+shd AS (SELECT DISTINCT doc_id, s FROM sh),
+sizes AS (SELECT doc_id, count(*) AS c FROM shd GROUP BY doc_id),
+inter AS (
+  SELECT p.id_a, p.id_b, count(*) AS i
+  FROM cand p
+  JOIN shd x ON x.doc_id = p.id_a
+  JOIN shd y ON y.doc_id = p.id_b AND y.s = x.s
+  GROUP BY p.id_a, p.id_b
+),
+scored AS (
+  SELECT v.id_a, v.id_b,
+         round(CAST(v.i AS DOUBLE) / (sa.c + sb.c - v.i), 4) AS jaccard
+  FROM inter v
+  JOIN sizes sa ON sa.doc_id = v.id_a
+  JOIN sizes sb ON sb.doc_id = v.id_b
+  UNION ALL
+  SELECT p.id_a, p.id_b, 1.0 AS jaccard
+  FROM cand p
+  WHERE p.id_a NOT IN (SELECT doc_id FROM sizes)
+    AND p.id_b NOT IN (SELECT doc_id FROM sizes)
+)
+SELECT id_a, id_b, jaccard FROM scored WHERE jaccard >= {threshold}
+ORDER BY id_a, id_b
+"""
+
+
+def _sql_dedup_simhash(max_hamming: int = 10) -> str:
+    return f"""
+WITH docs AS (SELECT doc_id, {_NORM_SQL} AS norm FROM documents),
+words AS (
+  SELECT doc_id, w FROM docs, unnest(string_split(norm, ' ')) AS t(w)
+  WHERE w <> ''
+),
+wh AS (SELECT doc_id, {_md5le64_sql('w')} AS h FROM words),
+votes AS (
+  SELECT doc_id, k,
+         sum(CASE WHEN ((h >> k) & 1) = 1 THEN 1 ELSE -1 END) AS v
+  FROM wh, generate_series(0, 63) AS g(k)
+  GROUP BY doc_id, k
+),
+sims0 AS (
+  SELECT doc_id,
+         CAST(sum(CASE WHEN v > 0 THEN CAST(power(2.0, k) AS HUGEINT)
+                  ELSE 0 END) AS UBIGINT) AS h
+  FROM votes GROUP BY doc_id
+),
+sims AS (
+  SELECT d.doc_id, COALESCE(s.h, 0) AS h
+  FROM docs d LEFT JOIN sims0 s ON d.doc_id = s.doc_id
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       CAST(bit_count(xor(a.h, b.h)) AS BIGINT) AS hamming
+FROM sims a JOIN sims b ON a.doc_id < b.doc_id
+WHERE (((a.h >> 0) & 65535) = ((b.h >> 0) & 65535)
+    OR ((a.h >> 16) & 65535) = ((b.h >> 16) & 65535)
+    OR ((a.h >> 32) & 65535) = ((b.h >> 32) & 65535)
+    OR ((a.h >> 48) & 65535) = ((b.h >> 48) & 65535))
+  AND bit_count(xor(a.h, b.h)) <= {max_hamming}
+ORDER BY id_a, id_b
+"""
+
+
+def _sql_lang_id() -> str:
+    from etl_ray.functions.text import LANG_PROFILES
+
+    counts = ", ".join(
+        f"len(regexp_extract_all(lower(text), "
+        f"'\\b(?:{'|'.join(sorted(LANG_PROFILES[lang]))})\\b')) AS n_{lang}"
+        for lang in LANG_PROFILES)
+    # argmax with first-wins tie-break in profile order (en, de, fr, es)
+    return f"""
+WITH c AS (SELECT doc_id, {counts} FROM documents)
+SELECT doc_id,
+       CASE WHEN n_en = 0 AND n_de = 0 AND n_fr = 0 AND n_es = 0 THEN 'unk'
+            WHEN n_en >= n_de AND n_en >= n_fr AND n_en >= n_es THEN 'en'
+            WHEN n_de >= n_fr AND n_de >= n_es THEN 'de'
+            WHEN n_fr >= n_es THEN 'fr'
+            ELSE 'es' END AS lang_pred
+FROM c ORDER BY doc_id
+"""
+
+
+def _sql_dedup_lsh_embedding(n_planes: int = 6, threshold: float = 0.4) -> str:
+    """HyperplaneLSH(seed=7) planes as float32-rounded DOUBLE[] literals."""
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    planes = rng.standard_normal((64, n_planes)).astype(np.float32).astype(
+        np.float64)
+    plane_lits = ", ".join(
+        "CAST([" + ",".join(repr(float(v)) for v in planes[:, j])
+        + "] AS DOUBLE[])" for j in range(n_planes))
+    cols = ",".join(f"p{j}" for j in range(n_planes))
+    bucket = " + ".join(
+        f"(CASE WHEN list_dot_product(CAST(embedding AS DOUBLE[]), p{j}) > 0 "
+        f"THEN {1 << j} ELSE 0 END)" for j in range(n_planes))
+    return f"""
+WITH b AS (
+  SELECT vec_id, embedding, {bucket} AS bucket
+  FROM embeddings, (SELECT * FROM (VALUES ({plane_lits})) t({cols}))
+)
+SELECT a.vec_id AS id_a, b2.vec_id AS id_b,
+       round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                    CAST(b2.embedding AS DOUBLE[])), 4)
+         AS cosine
+FROM b a JOIN b b2 ON a.bucket = b2.bucket AND a.vec_id < b2.vec_id
+WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                             CAST(b2.embedding AS DOUBLE[])) >= {threshold}
+ORDER BY 1, 2
+"""
+
 _CHANGELOG_CTE = """
 WITH c AS (
   SELECT CAST(user_id AS VARCHAR) AS doc_id,
@@ -46,7 +260,7 @@ def _replay_events(sf_dir: str, *, tag: str, quarantine_over=None,
                    part_fn=None, num_partitions: int = 8,
                    with_props_from=None, salt_threshold=None,
                    segments_per_commit=None, crash_resume: bool = False,
-                   do_compact: bool = False):
+                   do_compact: bool = False, corrections=()):
     from etl_ray.config import EngineConfig
     from etl_ray.pipelines import analogs as A
     from etl_ray.pipelines.compaction import compact
@@ -58,6 +272,7 @@ def _replay_events(sf_dir: str, *, tag: str, quarantine_over=None,
         num_partitions=num_partitions,
         apply_concurrency=None,
         payload=A.events_payload(quarantine_over),
+        corrections=tuple(corrections),
     )
     if part_fn is not None:
         kw["part_fn"] = part_fn
@@ -144,6 +359,24 @@ def _q_cdc_watermarks(sf_dir: str):
         for k, p in sorted(m.partitions.items())
     ]
     return pd.DataFrame(rows)
+
+
+def _q_cdc_replay_corrected(sf_dir: str):
+    """Declarative data-correction rules (field mask + conditional shift)
+    applied in the validate stage, end-to-end through a full replay
+    (reference parser/annotation2.go:60-120, parser/switch.go:103-117)."""
+    from etl_ray.config import MaskRule, ShiftRule
+    from etl_ray.pipelines import analogs as A
+
+    _, lake, _ = _replay_events(
+        sf_dir, tag="corrected",
+        corrections=(
+            ShiftRule("value", 1000.0, when_column="event_type",
+                      when_equals="purchase"),
+            MaskRule("event_type", ("signup",)),
+        ),
+    )
+    return A.lake_final_state(lake)
 
 
 def _q_pt_pollution(sf_dir: str):
@@ -433,6 +666,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cdc_quarantine": _q_cdc_quarantine,
         "cdc_watermarks": _q_cdc_watermarks,
         "cdc_replay_retraction": _q_cdc_replay_retraction,
+        "cdc_replay_corrected": _q_cdc_replay_corrected,
         "pt_pollution": _q_pt_pollution,
         # parser analogs (SURVEY.md §2.3-2.5, §2.8)
         "switch_group_agg": A.switch_group_agg,
@@ -606,6 +840,23 @@ SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars,
             AS BIGINT) AS n_words
 FROM documents ORDER BY doc_id
 """,
+        "cdc_replay_corrected": """
+WITH c AS (
+  SELECT CAST(user_id AS VARCHAR) AS doc_id, event_id AS last_seq,
+         CASE WHEN event_type = 'purchase' THEN value + 1000
+              ELSE value END AS value,
+         CASE WHEN event_type = 'signup' THEN NULL
+              ELSE event_type END AS event_type,
+         CASE WHEN event_type = 'error' THEN 'delete' ELSE 'insert' END AS op
+  FROM events
+), r AS (
+  SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY last_seq DESC) rn
+  FROM c
+)
+SELECT doc_id, last_seq, value, event_type
+FROM r WHERE rn = 1 AND op <> 'delete'
+ORDER BY doc_id
+""",
         "pt_pollution": """
 WITH b AS (
   SELECT user_id, event_id, event_id % 17 AS dest,
@@ -721,6 +972,11 @@ SELECT doc_id,
        md5('{_DECODER_SALT}' || text) AS feature_hex
 FROM documents ORDER BY doc_id
 """,
-        # lang_id, dedup_minhash_lsh, dedup_simhash, dedup_lsh_embedding:
-        # heuristic / sketch-based — not SQL-expressible; rows-only check.
+        # sketch family: the portable-hash design makes the full LSH
+        # machinery SQL-reproducible (see the _sql_* builders above)
+        "dedup_minhash_lsh": _sql_dedup_minhash(),
+        "dedup_ngram_jaccard": _sql_dedup_ngram_jaccard(0.3),
+        "dedup_simhash": _sql_dedup_simhash(10),
+        "dedup_lsh_embedding": _sql_dedup_lsh_embedding(6, _EMB_THRESHOLD),
+        "lang_id": _sql_lang_id(),
     }

@@ -78,6 +78,63 @@ def modulo_part(doc_ids: pa.Array, num_partitions: int) -> np.ndarray:
 
 
 @dataclass
+class MaskRule:
+    """Declarative correction: null out a column's value where it matches a
+    bad set — the Geo.Region-mask pattern (reference
+    parser/annotation2.go:60-120 masks Region unless valid for the country).
+    Vectorized (one is_in + if_else per batch)."""
+
+    column: str
+    bad_values: tuple
+
+    def apply(self, table: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        if self.column not in table.column_names:
+            return table
+        col = table[self.column]
+        col = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+        bad = pc.is_in(col, value_set=pa.array(list(self.bad_values),
+                                               type=col.type))
+        fixed = pc.if_else(bad, pa.nulls(len(col), col.type), col)
+        i = table.column_names.index(self.column)
+        return table.set_column(i, self.column, fixed)
+
+
+@dataclass
+class ShiftRule:
+    """Declarative correction: add a constant where a predicate column
+    matches — the DISCOv1→v2 timestamp-shift pattern (reference
+    parser/switch.go:103-117 shifts sample timestamps by the collection
+    interval)."""
+
+    column: str
+    delta: float
+    when_column: Optional[str] = None
+    when_equals: Optional[object] = None
+
+    def apply(self, table: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        if self.column not in table.column_names:
+            return table
+        col = table[self.column]
+        col = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+        if self.when_column is None:
+            mask = pa.array(np.ones(len(col), dtype=bool))
+        else:
+            w = table[self.when_column]
+            mask = pc.equal(w, self.when_equals)
+            mask = mask.combine_chunks() if isinstance(
+                mask, pa.ChunkedArray) else mask
+            mask = mask.fill_null(False)
+        shifted = pc.add(col, pa.scalar(self.delta, col.type))
+        fixed = pc.if_else(mask, shifted, col)
+        i = table.column_names.index(self.column)
+        return table.set_column(i, self.column, fixed)
+
+
+@dataclass
 class PayloadSpec:
     """Describes the payload columns and their validity rules.
 
@@ -228,6 +285,11 @@ class EngineConfig:
     payload: PayloadSpec = field(default_factory=TokensPayload)
     # partition fn: fn(doc_id_array, P) -> np.ndarray[int64]
     part_fn: Callable = hashed_part
+    # declarative data-correction rules (MaskRule / ShiftRule / any object
+    # with .apply(table)->table), applied in the validate stage BEFORE
+    # validity checks — the reference's field-mask / ts-shift corrections
+    # as config-as-data (annotation2.go:60-120, switch.go:103-117)
+    corrections: tuple = ()
 
     def shard_of(self, part: np.ndarray, salt: np.ndarray) -> np.ndarray:
         return part * self.max_salt + salt

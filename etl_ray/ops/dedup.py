@@ -10,10 +10,21 @@ Scale notes (100 TB): every variant is shuffle-light —
     one row per distinct hash per batch);
   * MinHash-LSH / SimHash: per-batch signature computation, explode to
     (band, band_hash, doc_id) — the groupby moves tiny signature rows, never
-    documents; candidate verification re-reads only candidate docs;
+    documents; candidate pair dedup is an aggregate (hash-combinable), not a
+    per-group Python lambda;
+  * candidate VERIFICATION is a distributed hash join (shingle sets joined
+    onto pairs, exact Jaccard inside map_batches) — nothing unbounded ever
+    lands on the driver;
   * embedding near-dup: the comparison side is broadcast once via ray.put
     (valid while the index side fits memory; the LSH-bucketed variant in
     similarity.py is the unbounded-scale path).
+
+Hashing is deliberately PORTABLE (md5-based word hashes + a uint64
+polynomial fold): byte-stable across library versions forever — the same
+property crc32_part buys the partitioner — and reproducible in DuckDB SQL,
+which is how the driver's oracle verifies the LSH machinery value-for-value
+(see __ray_entry__.oracle_sql). The md5 cost is paid once per UNIQUE word
+per batch (Zipf makes uniques << tokens); everything downstream is numpy.
 """
 
 from __future__ import annotations
@@ -29,6 +40,35 @@ import pyarrow.compute as pc
 from etl_ray.functions.text import normalize_for_fingerprint
 
 MERSENNE = (1 << 61) - 1
+
+# odd fold multiplier kept BELOW 2^62 so (acc mod 2^64) * C fits a signed
+# 128-bit HUGEINT — the property that lets the SQL oracle reproduce the fold
+# exactly (numpy wraps uint64; DuckDB reduces mod 2^64 each step)
+_SHINGLE_C = np.uint64(0x2545F4914F6CDD1D)
+
+_POP8 = np.array([bin(i).count("1") for i in range(256)], dtype=np.uint8)
+
+
+def popcount64(x: np.ndarray) -> np.ndarray:
+    """Vectorized popcount for uint64 arrays (numpy<2 has no bitwise_count)."""
+    return _POP8[x.view(np.uint8).reshape(len(x), 8)].sum(axis=1).astype(
+        np.int64)
+
+
+def md5le64(strings: np.ndarray) -> np.ndarray:
+    """uint64 word hash: little-endian first 8 bytes of md5(word).
+
+    Hashes each UNIQUE value once (np.unique + inverse); portable across
+    processes/versions and reproducible in SQL (md5 hex → byte folds)."""
+    if len(strings) == 0:
+        return np.zeros(0, dtype=np.uint64)
+    uniq, inv = np.unique(strings, return_inverse=True)
+    hs = np.fromiter(
+        (int.from_bytes(hashlib.md5(s.encode("utf-8")).digest()[:8], "little")
+         for s in uniq),
+        dtype=np.uint64, count=len(uniq),
+    )
+    return hs[inv]
 
 
 # --------------------------------------------------------------- exact dedup
@@ -69,26 +109,6 @@ def exact_dedup(ds, *, text_col: str = "text", id_col: str = "doc_id"):
 
 
 # ------------------------------------------------------------- MinHash + LSH
-def _shingle_hashes(text: str, n: int = 3) -> np.ndarray:
-    """Hashes of word n-gram shingles (int64, deduped)."""
-    words = text.split()
-    if len(words) < n:
-        ngrams = [" ".join(words)] if words else []
-    else:
-        ngrams = [" ".join(words[i:i + n]) for i in range(len(words) - n + 1)]
-    if not ngrams:
-        return np.zeros(0, dtype=np.uint64)
-    hs = np.fromiter(
-        (int.from_bytes(hashlib.md5(g.encode()).digest()[:8], "little")
-         for g in ngrams),
-        dtype=np.uint64, count=len(ngrams),
-    )
-    return np.unique(hs)
-
-
-_SHINGLE_C = np.uint64(0x9E3779B97F4A7C15)  # odd golden-ratio multiplier
-
-
 def _word_shingle_hashes(word_hashes: np.ndarray, doc_of_word: np.ndarray,
                          n: int) -> tuple:
     """Vectorized word n-gram shingle hashes across ALL docs of a batch.
@@ -135,12 +155,34 @@ def _word_shingle_hashes(word_hashes: np.ndarray, doc_of_word: np.ndarray,
     return sh, docs
 
 
+def _explode_words(texts: pd.Series) -> tuple:
+    """normalized texts → (flat word array, doc index per word, n_docs)."""
+    n = len(texts)
+    words = texts.str.split()
+    lengths = words.str.len().fillna(0).to_numpy(dtype=np.int64)
+    doc_of_word = np.repeat(np.arange(n), lengths)
+    flat = words.explode().dropna().to_numpy(dtype=object)
+    return flat, doc_of_word, n
+
+
+def _shingle_hashes(text: str, n: int = 3) -> np.ndarray:
+    """Deduped shingle-hash set of ONE text (already-normalized input
+    expected); the scalar sibling of the vectorized batch kernel — same
+    fold, byte-identical values."""
+    words = np.array(text.split(), dtype=object)
+    if len(words) == 0:
+        return np.zeros(0, dtype=np.uint64)
+    wh = md5le64(words)
+    sh, _ = _word_shingle_hashes(wh, np.zeros(len(wh), np.int64), n)
+    return np.unique(sh)
+
+
 class MinHasher:
     """Stateful minhash stage: hash coefficients drawn once per worker from a
     fixed seed (reference pattern: per-process dictionaries, SURVEY.md §2.6).
-    Fully vectorized: word hashes via pandas hash_array, shingles via a
-    polynomial fold, per-doc minima via ``np.minimum.reduceat`` — no Python
-    loop over documents in the hot path."""
+    Fully vectorized: word hashes via the md5 unique-word kernel, shingles
+    via a polynomial fold, per-doc minima via ``np.minimum.reduceat`` — no
+    Python loop over documents in the hot path."""
 
     def __init__(self, num_perm: int = 64, bands: int = 16, shingle_n: int = 3,
                  text_col: str = "text", id_col: str = "doc_id", seed: int = 97):
@@ -161,25 +203,19 @@ class MinHasher:
         return v.min(axis=1)
 
     def signature(self, text: str) -> np.ndarray:
-        words = np.array(text.split(), dtype=object)
-        if len(words) == 0:
+        sh = _shingle_hashes(" ".join((text or "").lower().split()),
+                             self.shingle_n)
+        if len(sh) == 0:
             return np.zeros(self.num_perm, dtype=np.uint64)
-        wh = pd.util.hash_array(words)
-        sh, _ = _word_shingle_hashes(wh, np.zeros(len(wh), np.int64),
-                                     self.shingle_n)
         return self._minhash(sh)
 
     def signatures(self, texts: pd.Series) -> np.ndarray:
         """(n_docs, num_perm) signatures, vectorized across the batch."""
-        n = len(texts)
-        words = texts.str.split()
-        lengths = words.str.len().fillna(0).to_numpy(dtype=np.int64)
-        doc_of_word = np.repeat(np.arange(n), lengths)
-        flat = words.explode().dropna().to_numpy(dtype=object)
+        flat, doc_of_word, n = _explode_words(texts)
         sigs = np.zeros((n, self.num_perm), dtype=np.uint64)
         if len(flat) == 0:
             return sigs
-        wh = pd.util.hash_array(flat)
+        wh = md5le64(flat)
         sh, docs = _word_shingle_hashes(wh, doc_of_word, self.shingle_n)
         if len(sh) == 0:
             return sigs
@@ -215,20 +251,45 @@ class MinHasher:
         )
 
 
-def _bucket_pairs(df: pd.DataFrame) -> pd.DataFrame:
-    ids = sorted(set(df["doc_id"]))
+# emit pairs for at most this many (sorted) distinct ids per LSH bucket: a
+# degenerate bucket (boilerplate corpus) would otherwise go O(b^2). Dropped
+# ids surface as "truncated" rows so the loss is visible, never silent.
+DEFAULT_MAX_BUCKET_IDS = 2048
+
+
+def _bucket_pairs(df: pd.DataFrame,
+                  max_ids: int = DEFAULT_MAX_BUCKET_IDS) -> pd.DataFrame:
+    ids = np.unique(df["doc_id"].to_numpy())
     dtype = df["doc_id"].dtype
+    truncated = 0
+    if len(ids) > max_ids:
+        truncated = len(ids) - max_ids
+        ids = ids[:max_ids]
     if len(ids) < 2:
         return pd.DataFrame({"id_a": pd.Series([], dtype=dtype),
-                             "id_b": pd.Series([], dtype=dtype)})
-    a, b = zip(*[(x, y) for i, x in enumerate(ids) for y in ids[i + 1:]])
-    return pd.DataFrame({"id_a": pd.Series(a, dtype=dtype),
-                         "id_b": pd.Series(b, dtype=dtype)})
+                             "id_b": pd.Series([], dtype=dtype),
+                             "truncated": pd.Series([], dtype="int64")})
+    i, j = np.triu_indices(len(ids), k=1)
+    return pd.DataFrame({"id_a": ids[i], "id_b": ids[j],
+                         "truncated": np.full(len(i), truncated,
+                                              dtype=np.int64)})
+
+
+def _dedup_pairs(pairs, extra_agg=None):
+    """Cross-band pair dedup as a hash-combinable AGGREGATE (never a
+    sort-shuffle + per-group Python lambda — the exact all-to-all shape
+    BASELINE.md measured as pathological)."""
+    from ray.data.aggregate import Max, Min
+
+    aggs = [Max("truncated", alias_name="truncated")] if extra_agg is None \
+        else extra_agg
+    return pairs.groupby(["id_a", "id_b"]).aggregate(*aggs)
 
 
 def minhash_lsh_candidates(ds, *, num_perm: int = 64, bands: int = 16,
                            shingle_n: int = 3, text_col: str = "text",
-                           id_col: str = "doc_id", concurrency: int = 4):
+                           id_col: str = "doc_id", concurrency: int = 4,
+                           max_bucket_ids: int = DEFAULT_MAX_BUCKET_IDS):
     """Candidate near-dup pairs via MinHash banding; returns a Dataset of
     unique (id_a, id_b)."""
     # constructed instance → task pool: the hash coefficients are tiny, and
@@ -241,12 +302,11 @@ def minhash_lsh_candidates(ds, *, num_perm: int = 64, bands: int = 16,
     )
     pairs = (
         sig.groupby(["band", "band_hash"])
-        .map_groups(_bucket_pairs, batch_format="pandas")
+        .map_groups(lambda df: _bucket_pairs(df, max_bucket_ids),
+                    batch_format="pandas")
     )
-    # dedupe pairs across bands (tiny relative to the corpus)
-    return pairs.groupby(["id_a", "id_b"]).map_groups(
-        lambda g: g.head(1), batch_format="pandas"
-    )
+    return _dedup_pairs(pairs).map_batches(
+        lambda t: t.drop_columns(["truncated"]), batch_format="pyarrow")
 
 
 def jaccard_of_texts(text_a: str, text_b: str, n: int = 3) -> float:
@@ -262,23 +322,131 @@ def jaccard_of_texts(text_a: str, text_b: str, n: int = 3) -> float:
     return len(a & b) / max(len(a | b), 1)
 
 
-def verify_jaccard(pairs_df: pd.DataFrame, docs_df: pd.DataFrame, *,
-                   threshold: float, n: int = 3,
-                   text_col: str = "text", id_col: str = "doc_id") -> pd.DataFrame:
-    """Exact n-gram Jaccard over CANDIDATE pairs only (candidates are small
-    by construction; docs_df holds just the candidate docs)."""
-    texts = docs_df.set_index(id_col)[text_col]
-    out = []
-    for r in pairs_df.itertuples(index=False):
-        j = jaccard_of_texts(texts.get(r.id_a, ""), texts.get(r.id_b, ""), n)
-        if j >= threshold:
-            out.append((r.id_a, r.id_b, j))
-    return pd.DataFrame(out, columns=["id_a", "id_b", "jaccard"])
+class ShingleSets:
+    """map_batches stage: documents → (doc_id, shingles binary) with
+    per-doc DEDUPED shingle-hash sets, sorted ascending, packed as raw
+    uint64 bytes (Acero hash joins carry binary payloads but not lists;
+    the verify kernel unpacks with a zero-copy np.frombuffer)."""
+
+    def __init__(self, shingle_n: int = 3, text_col: str = "text",
+                 id_col: str = "doc_id"):
+        self.shingle_n = shingle_n
+        self.text_col = text_col
+        self.id_col = id_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        texts = normalize_for_fingerprint(batch[self.text_col].to_pandas())
+        flat, doc_of_word, n = _explode_words(texts)
+        if len(flat) == 0:
+            empty = pa.array([b""] * n, pa.binary())
+            return pa.table({self.id_col: batch[self.id_col],
+                             "shingles": empty})
+        wh = md5le64(flat)
+        sh, docs = _word_shingle_hashes(wh, doc_of_word, self.shingle_n)
+        # per-doc sorted unique: lexsort by (doc, hash), drop equal neighbors
+        order = np.lexsort((sh, docs))
+        sh, docs = sh[order], docs[order]
+        keep = np.ones(len(sh), dtype=bool)
+        keep[1:] = (sh[1:] != sh[:-1]) | (docs[1:] != docs[:-1])
+        sh, docs = sh[keep], docs[keep]
+        counts = np.bincount(docs, minlength=n)
+        offsets = np.zeros(n + 1, dtype=np.int64)
+        np.cumsum(counts, out=offsets[1:])
+        blobs = [sh[offsets[d]:offsets[d + 1]].tobytes() for d in range(n)]
+        return pa.table({self.id_col: batch[self.id_col],
+                         "shingles": pa.array(blobs, pa.binary())})
+
+
+def _pair_jaccard(batch: pa.Table) -> pa.Table:
+    """Exact Jaccard per candidate pair from two sorted packed shingle sets
+    (numpy intersect on the pair's own arrays — no quadratic scan)."""
+    sa = batch["shingles_a"].to_pylist()
+    sb = batch["shingles_b"].to_pylist()
+    out = np.empty(len(batch), dtype=np.float64)
+    for i in range(len(batch)):
+        a = np.frombuffer(sa[i] or b"", dtype=np.uint64)
+        b = np.frombuffer(sb[i] or b"", dtype=np.uint64)
+        if len(a) == 0 and len(b) == 0:
+            out[i] = 1.0
+            continue
+        inter = len(np.intersect1d(a, b, assume_unique=True))
+        out[i] = inter / max(len(a) + len(b) - inter, 1)
+    return pa.table({
+        "id_a": batch["id_a"],
+        "id_b": batch["id_b"],
+        "jaccard": pa.array(out),
+    })
+
+
+def verify_candidates(ds, cand, *, threshold: float, shingle_n: int = 3,
+                      text_col: str = "text", id_col: str = "doc_id",
+                      num_partitions: int = None):
+    """Distributed exact-Jaccard verification: shingle sets are hash-JOINED
+    onto the candidate pairs (two joins, one per side) and verified inside
+    map_batches — the candidate set never materializes on the driver.
+
+    Join aggregators are sized explicitly: Ray's default reserves ~1 GB
+    memory per aggregator, which deadlocks small sessions; shingle rows are
+    a few KB each, so a modest reservation is right at any scale (spill
+    covers the tail)."""
+    import ray
+
+    if num_partitions is None:
+        cpus = int(ray.cluster_resources().get("CPU", 4))
+        num_partitions = max(2, min(16, cpus // 2))
+    join_kw = dict(
+        join_type="inner", num_partitions=num_partitions,
+        aggregator_ray_remote_args={"memory": 256 << 20, "num_cpus": 0.5},
+    )
+    shingled = ds.map_batches(
+        ShingleSets(shingle_n=shingle_n, text_col=text_col, id_col=id_col),
+        batch_format="pyarrow",
+    )
+    def rename(old: str, new: str):
+        def f(t: pa.Table) -> pa.Table:
+            return t.rename_columns(
+                [new if c == old else c for c in t.column_names])
+
+        return f
+
+    joined = cand.join(
+        shingled, on=("id_a",), right_on=(id_col,), right_suffix="_a",
+        **join_kw,
+    ).map_batches(
+        rename("shingles", "shingles_a"), batch_format="pyarrow",
+    ).join(
+        shingled, on=("id_b",), right_on=(id_col,), right_suffix="_b",
+        **join_kw,
+    ).map_batches(
+        rename("shingles", "shingles_b"), batch_format="pyarrow",
+    )
+    verified = joined.map_batches(_pair_jaccard, batch_format="pyarrow")
+    return verified.filter(expr=f"jaccard >= {threshold}")
+
+
+def minhash_near_dups(ds, *, threshold: float = 0.5, num_perm: int = 64,
+                      bands: int = 16, shingle_n: int = 3,
+                      text_col: str = "text", id_col: str = "doc_id",
+                      concurrency: int = 4):
+    """Full near-dup pipeline: MinHash-LSH candidates → DISTRIBUTED exact
+    n-gram Jaccard verification (hash join of shingle sets onto pairs).
+    Returns a pandas DataFrame (id_a, id_b, jaccard ≥ threshold), sorted."""
+    cand = minhash_lsh_candidates(
+        ds, num_perm=num_perm, bands=bands, shingle_n=shingle_n,
+        text_col=text_col, id_col=id_col, concurrency=concurrency,
+    )
+    out = verify_candidates(
+        ds, cand, threshold=threshold, shingle_n=shingle_n,
+        text_col=text_col, id_col=id_col,
+    ).to_pandas()
+    return out.sort_values(["id_a", "id_b"]).reset_index(drop=True)
 
 
 # ------------------------------------------------------------------- SimHash
 class SimHasher:
-    """64-bit SimHash per doc from word-feature hashes; actor-pool stage."""
+    """64-bit SimHash per doc from word-feature hashes. Vectorized across
+    the batch: md5 unique-word hashes → bit matrix via np.unpackbits →
+    per-doc ±1 sums via np.add.reduceat → sign bits packed back to uint64."""
 
     def __init__(self, text_col: str = "text", id_col: str = "doc_id"):
         self.text_col = text_col
@@ -286,21 +454,37 @@ class SimHasher:
 
     @staticmethod
     def simhash64(text: str) -> int:
-        words = text.split()
-        if not words:
+        words = np.array((text or "").split(), dtype=object)
+        if len(words) == 0:
             return 0
-        hs = np.fromiter(
-            (int.from_bytes(hashlib.md5(w.encode()).digest()[:8], "little")
-             for w in words),
-            dtype=np.uint64, count=len(words),
-        )
-        bits = ((hs[:, None] >> np.arange(64, dtype=np.uint64)) & 1).astype(np.int64)
+        hs = md5le64(words)
+        bits = np.unpackbits(hs[:, None].view(np.uint8), axis=1,
+                             bitorder="little").astype(np.int32)
         v = (2 * bits - 1).sum(axis=0)
-        return int(((v > 0).astype(np.uint64) << np.arange(64, dtype=np.uint64)).sum())
+        return int(((v > 0).astype(np.uint64)
+                    << np.arange(64, dtype=np.uint64)).sum())
+
+    def signatures(self, texts: pd.Series) -> np.ndarray:
+        flat, doc_of_word, n = _explode_words(texts)
+        sigs = np.zeros(n, dtype=np.uint64)
+        if len(flat) == 0:
+            return sigs
+        hs = md5le64(flat)
+        # (words, 64) bit matrix; column j == bit j of the word hash
+        bits = np.unpackbits(hs[:, None].view(np.uint8), axis=1,
+                             bitorder="little").astype(np.int32)
+        contrib = 2 * bits - 1
+        present = np.unique(doc_of_word)
+        starts = np.searchsorted(doc_of_word, np.arange(n), side="left")
+        sums = np.add.reduceat(contrib, starts[present], axis=0)
+        sign = (sums > 0).astype(np.uint8)
+        packed = np.packbits(sign, axis=1, bitorder="little")
+        sigs[present] = packed.copy().view(np.uint64).ravel()
+        return sigs
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         texts = normalize_for_fingerprint(batch[self.text_col].to_pandas())
-        sh = np.array([self.simhash64(t) for t in texts], dtype=np.uint64)
+        sh = self.signatures(texts)
         out = pa.table(
             {
                 self.id_col: batch[self.id_col],
@@ -317,11 +501,10 @@ class SimHasher:
 
 
 def simhash_candidates(ds, *, max_hamming: int = 3, text_col: str = "text",
-                       id_col: str = "doc_id", concurrency: int = 4):
+                       id_col: str = "doc_id", concurrency: int = 4,
+                       max_bucket_ids: int = DEFAULT_MAX_BUCKET_IDS):
     """Near-dup pairs by SimHash banding + exact hamming verify inside each
     16-bit-chunk bucket."""
-    import ray.data as rd
-
     sigs = ds.map_batches(
         SimHasher(text_col=text_col, id_col=id_col),
         batch_format="pyarrow",
@@ -340,60 +523,23 @@ def simhash_candidates(ds, *, max_hamming: int = 3, text_col: str = "text",
     def pairs(df: pd.DataFrame) -> pd.DataFrame:
         df = df.drop_duplicates(id_col).sort_values(id_col)
         dtype = df[id_col].dtype
+        if len(df) > max_bucket_ids:
+            df = df.iloc[:max_bucket_ids]
         if len(df) < 2:
             return pd.DataFrame({"id_a": pd.Series([], dtype=dtype),
                                  "id_b": pd.Series([], dtype=dtype),
                                  "hamming": pd.Series([], dtype="int64")})
         ids = df[id_col].to_numpy()
         sh = df["simhash"].to_numpy().astype(np.uint64)
-        out = []
-        for i in range(len(ids)):
-            x = sh[i] ^ sh[i + 1:]
-            ham = np.array([bin(int(v)).count("1") for v in x])
-            for j in np.flatnonzero(ham <= max_hamming):
-                out.append((ids[i], ids[i + 1 + j], int(ham[j])))
-        if not out:
-            return pd.DataFrame({"id_a": pd.Series([], dtype=dtype),
-                                 "id_b": pd.Series([], dtype=dtype),
-                                 "hamming": pd.Series([], dtype="int64")})
-        return pd.DataFrame(out, columns=["id_a", "id_b", "hamming"])
+        i, j = np.triu_indices(len(ids), k=1)
+        ham = popcount64(sh[i] ^ sh[j])
+        keep = ham <= max_hamming
+        return pd.DataFrame({"id_a": ids[i[keep]], "id_b": ids[j[keep]],
+                             "hamming": ham[keep]})
+
+    from ray.data.aggregate import Min
 
     cand = sigs.map_batches(explode, batch_format="pyarrow").groupby(
         "bucket").map_groups(pairs, batch_format="pandas")
-    return cand.groupby(["id_a", "id_b"]).map_groups(
-        lambda g: g.head(1), batch_format="pandas"
-    )
-
-
-def minhash_near_dups(ds, *, threshold: float = 0.5, num_perm: int = 64,
-                      bands: int = 16, shingle_n: int = 3,
-                      text_col: str = "text", id_col: str = "doc_id",
-                      concurrency: int = 4):
-    """Full near-dup pipeline: MinHash-LSH candidates → exact n-gram Jaccard
-    verification over ONLY the candidate docs.
-
-    The verify step fetches just the candidate documents (a distributed
-    filter against the broadcast candidate-id set — candidates are tiny by
-    LSH design) and checks exact Jaccard on the driver. Returns a pandas
-    DataFrame (id_a, id_b, jaccard ≥ threshold).
-    """
-    import pyarrow.compute as pc
-
-    cand = minhash_lsh_candidates(
-        ds, num_perm=num_perm, bands=bands, shingle_n=shingle_n,
-        text_col=text_col, id_col=id_col, concurrency=concurrency,
-    ).to_pandas()
-    if cand.empty:
-        return pd.DataFrame({"id_a": [], "id_b": [], "jaccard": []})
-    ids = sorted(set(cand["id_a"]) | set(cand["id_b"]))
-    id_set = pa.array(ids)
-    docs = (
-        ds.map_batches(
-            lambda t: t.filter(pc.is_in(t[id_col], value_set=id_set)),
-            batch_format="pyarrow",
-        )
-        .to_pandas()
-    )
-    out = verify_jaccard(cand, docs, threshold=threshold, n=shingle_n,
-                         text_col=text_col, id_col=id_col)
-    return out.sort_values(["id_a", "id_b"]).reset_index(drop=True)
+    return _dedup_pairs(cand,
+                        extra_agg=[Min("hamming", alias_name="hamming")])

@@ -43,6 +43,10 @@ class Validator:
     def __call__(self, batch: pa.Table) -> pa.Table:
         cfg = self.config
         batch = conform(batch, self.target_schema)
+        # declarative corrections run BEFORE validity checks, mirroring the
+        # reference's parse-time field masks / shifts (SURVEY.md §2.3)
+        for rule in cfg.corrections:
+            batch = rule.apply(batch)
         n = len(batch)
         reasons = np.full(n, None, dtype=object)
         quarantined = np.zeros(n, dtype=bool)
