@@ -632,6 +632,27 @@ def _q_snaplog_deltas(sf_dir: str):
     return snaplog_deltas(sf_dir)
 
 
+def _q_pack_sequences(sf_dir: str):
+    """Pretraining-data layout: tokenize documents, concatenate in doc_id
+    order within range buckets, chunk into fixed-length sequences."""
+    import ray.data as rd
+
+    from etl_ray.ops.packing import pack_documents
+
+    ds = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                         columns=["doc_id", "text"])
+    out = pack_documents(ds, seq_len=128, bucket_size=64).to_pandas()
+    return out.sort_values("seq_id").reset_index(drop=True)
+
+
+def _q_pcap_packets(sf_dir: str):
+    """libpcap binary decode: record walk + vectorized IPv4 header gather,
+    one row per packet (reference parser/pcap.go:40-109)."""
+    from etl_ray.pipelines.telemetry import pcap_packets
+
+    return pcap_packets(sf_dir)
+
+
 def _q_multimodal(sf_dir: str):
     import ray.data as rd
 
@@ -688,10 +709,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "archive_ingest": _q_archive_ingest,
         "ss_parse": _q_ss_parse,
         "snaplog_deltas": _q_snaplog_deltas,
+        "pcap_packets": _q_pcap_packets,
         "text_token_counts": _q_text_tokens,
         "text_quality": _q_text_quality,
         "doc_fingerprint": _q_doc_fingerprint,
         "lang_id": _q_lang_id,
+        "pack_sequences": _q_pack_sequences,
         "multimodal_decode": _q_multimodal,
     }
 
@@ -925,6 +948,15 @@ FROM o
 WINDOW w AS (PARTITION BY cid ORDER BY snap_index)
 ORDER BY cid, snap_index
 """,
+        "pcap_packets": """
+SELECT user_id, event_id AS ts_sec, user_id % 1000000 AS ts_usec,
+       '10.0.' || CAST(user_id % 250 AS VARCHAR) || '.1' AS src_ip,
+       '192.0.2.' || CAST(event_id % 250 + 1 AS VARCHAR) AS dst_ip,
+       64 - event_id % 32 AS ttl,
+       6 AS proto,
+       event_id % 64 AS ip_payload_len
+FROM events ORDER BY user_id, ts_sec
+""",
         "text_token_counts": f"""
 SELECT doc_id,
        CASE WHEN trim(text) = '' THEN 0
@@ -971,6 +1003,27 @@ SELECT doc_id,
                  AS BIGINT) % 64) AS height,
        md5('{_DECODER_SALT}' || text) AS feature_hex
 FROM documents ORDER BY doc_id
+""",
+        "pack_sequences": f"""
+WITH toks AS (
+  SELECT doc_id, doc_id // 64 AS bucket,
+         list_transform(regexp_extract_all(text, '{_BPE_PAT}'),
+                        x -> length(x)) AS tk
+  FROM documents
+),
+exp AS (
+  SELECT doc_id, bucket, generate_subscripts(tk, 1) AS i, unnest(tk) AS t
+  FROM toks
+),
+pos AS (
+  SELECT bucket, t,
+         row_number() OVER (PARTITION BY bucket ORDER BY doc_id, i) - 1 AS p
+  FROM exp
+)
+SELECT bucket * 1048576 + p // 128 AS seq_id,
+       count(*) AS n_tok,
+       string_agg(t, ',' ORDER BY p) AS tokens_csv
+FROM pos GROUP BY bucket, p // 128 ORDER BY seq_id
 """,
         # sketch family: the portable-hash design makes the full LSH
         # machinery SQL-reproducible (see the _sql_* builders above)

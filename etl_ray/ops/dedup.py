@@ -251,38 +251,87 @@ class MinHasher:
         )
 
 
-# emit pairs for at most this many (sorted) distinct ids per LSH bucket: a
-# degenerate bucket (boilerplate corpus) would otherwise go O(b^2). Dropped
-# ids surface as "truncated" rows so the loss is visible, never silent.
+# skip LSH buckets with more than this many members: a degenerate bucket
+# (boilerplate corpus) would otherwise go O(b^2) through the self-join. The
+# skipped bucket keys are counted and printed (visible, never silent).
 DEFAULT_MAX_BUCKET_IDS = 2048
 
 
-def _bucket_pairs(df: pd.DataFrame,
-                  max_ids: int = DEFAULT_MAX_BUCKET_IDS) -> pd.DataFrame:
-    ids = np.unique(df["doc_id"].to_numpy())
-    dtype = df["doc_id"].dtype
-    truncated = 0
-    if len(ids) > max_ids:
-        truncated = len(ids) - max_ids
-        ids = ids[:max_ids]
-    if len(ids) < 2:
-        return pd.DataFrame({"id_a": pd.Series([], dtype=dtype),
-                             "id_b": pd.Series([], dtype=dtype),
-                             "truncated": pd.Series([], dtype="int64")})
-    i, j = np.triu_indices(len(ids), k=1)
-    return pd.DataFrame({"id_a": ids[i], "id_b": ids[j],
-                         "truncated": np.full(len(i), truncated,
-                                              dtype=np.int64)})
+def _join_kwargs(num_partitions=None):
+    """Hash-join sizing shared by all pair joins: Ray's default reserves
+    ~1 GB memory per aggregator which deadlocks small sessions; bucket/pair
+    rows are tiny, so a modest reservation is right at any scale."""
+    import ray
+
+    if num_partitions is None:
+        cpus = int(ray.cluster_resources().get("CPU", 4))
+        num_partitions = max(2, min(16, cpus // 2))
+    return dict(
+        join_type="inner", num_partitions=num_partitions,
+        aggregator_ray_remote_args={"memory": 256 << 20, "num_cpus": 0.5},
+    )
 
 
-def _dedup_pairs(pairs, extra_agg=None):
+def _rename_col(old: str, new: str):
+    def f(t: pa.Table) -> pa.Table:
+        return t.rename_columns(
+            [new if c == old else c for c in t.column_names])
+
+    return f
+
+
+def _bucket_self_pairs(sig, key_cols, id_col: str, max_bucket_ids: int,
+                       payload_col: str = None):
+    """Unique unordered id pairs per bucket via a hash SELF-JOIN on the
+    bucket key — fully vectorized; no per-group Python lambda (a
+    sort-groupby with 76k one-row groups measured 9s where this takes ~1s).
+
+    Degenerate buckets (> max_bucket_ids members) are dropped up front:
+    their keys are found with a tiny Count aggregate and filtered out
+    (the count is printed, so truncation is visible)."""
+    import pyarrow.compute as _pc
+    from ray.data.aggregate import Count
+
+    sig = sig.materialize()  # tiny (ids + band keys); joined against itself
+    counts = sig.groupby(key_cols).aggregate(Count(alias_name="n"))
+    hot = counts.filter(expr=f"n > {max_bucket_ids}").to_pandas()
+    if len(hot):
+        print(f"[dedup] skipping {len(hot)} LSH buckets over "
+              f"{max_bucket_ids} members (largest: {int(hot['n'].max())})")
+        hot_keys = set(map(tuple, hot[key_cols].itertuples(index=False)))
+
+        def drop_hot(t: pa.Table) -> pa.Table:
+            cols = [t[k].to_numpy(zero_copy_only=False) for k in key_cols]
+            mask = np.fromiter(
+                (tuple(c[i] for c in cols) not in hot_keys
+                 for i in range(len(t))),
+                dtype=bool, count=len(t))
+            return t.filter(pa.array(mask))
+
+        sig = sig.map_batches(drop_hot, batch_format="pyarrow")
+
+    keep = key_cols + [id_col] + ([payload_col] if payload_col else [])
+    left = sig.map_batches(lambda t: t.select(keep), batch_format="pyarrow")
+    right = left.map_batches(_rename_col(id_col, "id_b"),
+                             batch_format="pyarrow")
+    if payload_col:
+        right = right.map_batches(
+            _rename_col(payload_col, f"{payload_col}_b"),
+            batch_format="pyarrow")
+    joined = left.map_batches(_rename_col(id_col, "id_a"),
+                              batch_format="pyarrow").join(
+        right, on=tuple(key_cols), right_on=tuple(key_cols), **_join_kwargs())
+
+    def tri(t: pa.Table) -> pa.Table:
+        return t.filter(_pc.less(t["id_a"], t["id_b"]))
+
+    return joined.map_batches(tri, batch_format="pyarrow")
+
+
+def _dedup_pairs(pairs, aggs):
     """Cross-band pair dedup as a hash-combinable AGGREGATE (never a
     sort-shuffle + per-group Python lambda — the exact all-to-all shape
     BASELINE.md measured as pathological)."""
-    from ray.data.aggregate import Max, Min
-
-    aggs = [Max("truncated", alias_name="truncated")] if extra_agg is None \
-        else extra_agg
     return pairs.groupby(["id_a", "id_b"]).aggregate(*aggs)
 
 
@@ -292,6 +341,8 @@ def minhash_lsh_candidates(ds, *, num_perm: int = 64, bands: int = 16,
                            max_bucket_ids: int = DEFAULT_MAX_BUCKET_IDS):
     """Candidate near-dup pairs via MinHash banding; returns a Dataset of
     unique (id_a, id_b)."""
+    from ray.data.aggregate import Count
+
     # constructed instance → task pool: the hash coefficients are tiny, and
     # a per-execution actor pool costs ~1s/actor in spawn (see EngineConfig.
     # use_actor_pool); pass the CLASS + concurrency for heavy-state variants
@@ -300,13 +351,10 @@ def minhash_lsh_candidates(ds, *, num_perm: int = 64, bands: int = 16,
                   text_col=text_col, id_col=id_col),
         batch_format="pyarrow",
     )
-    pairs = (
-        sig.groupby(["band", "band_hash"])
-        .map_groups(lambda df: _bucket_pairs(df, max_bucket_ids),
-                    batch_format="pandas")
-    )
-    return _dedup_pairs(pairs).map_batches(
-        lambda t: t.drop_columns(["truncated"]), batch_format="pyarrow")
+    pairs = _bucket_self_pairs(sig, ["band", "band_hash"], "doc_id",
+                               max_bucket_ids)
+    return _dedup_pairs(pairs, [Count(alias_name="_nb")]).map_batches(
+        lambda t: t.drop_columns(["_nb"]), batch_format="pyarrow")
 
 
 def jaccard_of_texts(text_a: str, text_b: str, n: int = 3) -> float:
@@ -504,7 +552,9 @@ def simhash_candidates(ds, *, max_hamming: int = 3, text_col: str = "text",
                        id_col: str = "doc_id", concurrency: int = 4,
                        max_bucket_ids: int = DEFAULT_MAX_BUCKET_IDS):
     """Near-dup pairs by SimHash banding + exact hamming verify inside each
-    16-bit-chunk bucket."""
+    16-bit-chunk bucket (pigeonhole: hamming ≤ 3 shares ≥ 1 of 4 chunks)."""
+    from ray.data.aggregate import Min
+
     sigs = ds.map_batches(
         SimHasher(text_col=text_col, id_col=id_col),
         batch_format="pyarrow",
@@ -520,26 +570,19 @@ def simhash_candidates(ds, *, max_hamming: int = 3, text_col: str = "text",
             }))
         return pa.concat_tables(tabs)
 
-    def pairs(df: pd.DataFrame) -> pd.DataFrame:
-        df = df.drop_duplicates(id_col).sort_values(id_col)
-        dtype = df[id_col].dtype
-        if len(df) > max_bucket_ids:
-            df = df.iloc[:max_bucket_ids]
-        if len(df) < 2:
-            return pd.DataFrame({"id_a": pd.Series([], dtype=dtype),
-                                 "id_b": pd.Series([], dtype=dtype),
-                                 "hamming": pd.Series([], dtype="int64")})
-        ids = df[id_col].to_numpy()
-        sh = df["simhash"].to_numpy().astype(np.uint64)
-        i, j = np.triu_indices(len(ids), k=1)
-        ham = popcount64(sh[i] ^ sh[j])
-        keep = ham <= max_hamming
-        return pd.DataFrame({"id_a": ids[i[keep]], "id_b": ids[j[keep]],
-                             "hamming": ham[keep]})
+    cand = _bucket_self_pairs(
+        sigs.map_batches(explode, batch_format="pyarrow"),
+        ["bucket"], id_col, max_bucket_ids, payload_col="simhash")
 
-    from ray.data.aggregate import Min
+    def hamming(t: pa.Table) -> pa.Table:
+        a = t["simhash"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        b = t["simhash_b"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        ham = popcount64(a ^ b)
+        out = pa.table({
+            "id_a": t["id_a"], "id_b": t["id_b"],
+            "hamming": pa.array(ham),
+        })
+        return out.filter(pa.array(ham <= max_hamming))
 
-    cand = sigs.map_batches(explode, batch_format="pyarrow").groupby(
-        "bucket").map_groups(pairs, batch_format="pandas")
-    return _dedup_pairs(cand,
-                        extra_agg=[Min("hamming", alias_name="hamming")])
+    cand = cand.map_batches(hamming, batch_format="pyarrow")
+    return _dedup_pairs(cand, [Min("hamming", alias_name="hamming")])

@@ -105,11 +105,12 @@ class TextStatsParser:
 
 
 def _default_parsers():
+    from etl_ray.pcaplite import PcapParser
     from etl_ray.sidestream import SidestreamParser
     from etl_ray.snaplog import SnaplogParser
 
     return (JsonlParser(), KeyValueParser(), TextStatsParser(),
-            SidestreamParser(), SnaplogParser())
+            SidestreamParser(), SnaplogParser(), PcapParser())
 
 
 REGISTRY: Dict[str, object] = {p.datatype: p for p in _default_parsers()}

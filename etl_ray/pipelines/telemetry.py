@@ -147,6 +147,60 @@ def snaplog_deltas(sf_dir: str) -> pd.DataFrame:
     return out.sort_values(["cid", "snap_index"]).reset_index(drop=True)
 
 
+def generate_pcap_archive(sf_dir: str) -> str:
+    """One pcap capture per user_id: one IPv4 packet per event (ordered by
+    event_id) with event-derived header fields the oracle SQL recomputes."""
+    from etl_ray.pcaplite import ipv4_frame, write_pcap
+
+    df = _events_frame(sf_dir)
+    members = []
+    for user, g in df.groupby("user_id", sort=True):
+        pkts = []
+        for r in g.itertuples(index=False):
+            eid = int(r.event_id)
+            frame = ipv4_frame(
+                f"10.0.{int(user) % 250}.1",
+                f"192.0.2.{eid % 250 + 1}",
+                ttl=64 - eid % 32,
+                payload=bytes(eid % 64),
+            )
+            pkts.append((eid, int(user) % 1_000_000, frame))
+        members.append((f"u{int(user)}.pcap", write_pcap(pkts)))
+    return _tar_of(members)
+
+
+def pcap_packets(sf_dir: str) -> pd.DataFrame:
+    """Engine path: archive → vectorized pcap record walk + numpy-gather
+    IPv4 decode → one row per packet (reference parser/pcap.go:40-109)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from etl_ray.pcaplite import PcapPacketDecoder
+    from etl_ray.sources.archive import read_archives
+
+    tar = generate_pcap_archive(sf_dir)
+    ds = read_archives([tar]).map_batches(PcapPacketDecoder(),
+                                          batch_format="pyarrow")
+
+    def project(batch: pa.Table) -> pa.Table:
+        hit = pc.extract_regex(batch["member"].combine_chunks(),
+                               r"u(?P<u>\d+)\.pcap")
+        uid = pc.cast(pc.struct_field(hit, "u"), pa.int64())
+        return pa.table({
+            "user_id": uid,
+            "ts_sec": batch["ts_sec"],
+            "ts_usec": batch["ts_usec"],
+            "src_ip": batch["src_ip"],
+            "dst_ip": batch["dst_ip"],
+            "ttl": batch["ttl"],
+            "proto": batch["proto"],
+            "ip_payload_len": batch["ip_payload_len"],
+        })
+
+    out = ds.map_batches(project, batch_format="pyarrow").to_pandas()
+    return out.sort_values(["user_id", "ts_sec"]).reset_index(drop=True)
+
+
 # ---------------------------------------------------- pollution retraction
 def _traceroute_frame(batch):
     """Deterministic traceroute-shaped fields from events (dest space 0-16,
