@@ -653,6 +653,14 @@ def _q_pcap_packets(sf_dir: str):
     return pcap_packets(sf_dir)
 
 
+def _q_scamper_hops(sf_dir: str):
+    """Scamper1 tracelb node restructure with manufactured HopID
+    (reference parser/scamper1.go:44-91, parser/parser.go:77-87)."""
+    from etl_ray.pipelines.telemetry import scamper_hops
+
+    return scamper_hops(sf_dir)
+
+
 def _q_multimodal(sf_dir: str):
     import ray.data as rd
 
@@ -710,6 +718,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ss_parse": _q_ss_parse,
         "snaplog_deltas": _q_snaplog_deltas,
         "pcap_packets": _q_pcap_packets,
+        "scamper_hops": _q_scamper_hops,
         "text_token_counts": _q_text_tokens,
         "text_quality": _q_text_quality,
         "doc_fingerprint": _q_doc_fingerprint,
@@ -956,6 +965,19 @@ SELECT user_id, event_id AS ts_sec, user_id % 1000000 AS ts_usec,
        6 AS proto,
        event_id % 64 AS ip_payload_len
 FROM events ORDER BY user_id, ts_sec
+""",
+        "scamper_hops": """
+WITH n AS (
+  SELECT user_id, event_id,
+         '192.0.2.' || CAST(event_id % 250 + 1 AS VARCHAR) AS addr,
+         event_id % 4 + 1 AS q_ttl,
+         'host-' || CAST(user_id % 10 AS VARCHAR) AS hostname,
+         count(*) OVER (PARTITION BY user_id) AS nodec
+  FROM events
+)
+SELECT '20170315_' || hostname || '_' || addr AS hop_id,
+       addr, q_ttl, '192.0.2.77' AS dst, nodec, hostname
+FROM n ORDER BY hop_id
 """,
         "text_token_counts": f"""
 SELECT doc_id,

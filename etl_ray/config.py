@@ -262,6 +262,13 @@ class EngineConfig:
     # fragment parquet codec ("lz4" fast / "zstd" smaller — bytes moved
     # through the exchange are the e2e bottleneck on shared storage)
     exchange_compression: str = "lz4"
+    # fragment container: "parquet" (half the bytes — right for disk /
+    # shared-fs exchange) or "ipc" (Arrow IPC file, ~10x cheaper encode and
+    # near-zero-cost decode at ~2x bytes — right for a RAM-backed
+    # exchange_root like /dev/shm, where bytes are memcpys). Measured on
+    # 106 MB of token rows: parquet-lz4 49.5 MB, 1.3 s write + 1.4 s read;
+    # IPC 103 MB, 0.13 s write + ~0 s read.
+    exchange_format: str = "parquet"
     skip_count: int = 0  # sampling relief valve (reference etl/globals.go:326-330)
     # abort the commit (manifest unflipped, CommitAborted raised) when
     # quarantined/events_in exceeds this ratio — the reference's TaskError

@@ -106,11 +106,15 @@ class TextStatsParser:
 
 def _default_parsers():
     from etl_ray.pcaplite import PcapParser
+    from etl_ray.scamper import Scamper1Parser
     from etl_ray.sidestream import SidestreamParser
     from etl_ray.snaplog import SnaplogParser
 
-    return (JsonlParser(), KeyValueParser(), TextStatsParser(),
-            SidestreamParser(), SnaplogParser(), PcapParser())
+    # Scamper1 precedes the generic JsonlParser: it claims the narrower
+    # ``*.tracelb.jsonl`` suffix (registry order is dispatch order)
+    return (Scamper1Parser(), JsonlParser(), KeyValueParser(),
+            TextStatsParser(), SidestreamParser(), SnaplogParser(),
+            PcapParser())
 
 
 REGISTRY: Dict[str, object] = {p.datatype: p for p in _default_parsers()}

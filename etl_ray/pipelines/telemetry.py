@@ -201,6 +201,58 @@ def pcap_packets(sf_dir: str) -> pd.DataFrame:
     return out.sort_values(["user_id", "ts_sec"]).reset_index(drop=True)
 
 
+def generate_scamper_archive(sf_dir: str) -> str:
+    """One 4-line tracelb jsonl per user_id (metadata, cycle-start, tracelb
+    with one node per event, cycle-stop)."""
+    import json
+
+    df = _events_frame(sf_dir)
+    members = []
+    for user, g in df.groupby("user_id", sort=True):
+        host = f"host-{int(user) % 10}"
+        nodes = [
+            {"addr": f"192.0.2.{int(r.event_id) % 250 + 1}",
+             "name": f"n{int(r.event_id)}",
+             "q_ttl": int(r.event_id) % 4 + 1,
+             "linkc": 1}
+            for r in g.itertuples(index=False)
+        ]
+        lines = [
+            {"type": "mda-metadata", "uuid": f"u{int(user)}"},
+            {"type": "cycle-start", "start_time": 1489539600,
+             "hostname": host, "id": int(user)},
+            {"type": "tracelb", "src": "10.0.0.1", "dst": "192.0.2.77",
+             "probe_size": 44, "probec": len(nodes), "nodec": len(nodes),
+             "nodes": nodes},
+            {"type": "cycle-stop", "stop_time": 1489539900},
+        ]
+        blob = "\n".join(json.dumps(x) for x in lines).encode()
+        members.append((f"u{int(user)}.tracelb.jsonl", blob))
+    return _tar_of(members)
+
+
+def scamper_hops(sf_dir: str) -> pd.DataFrame:
+    """Engine path: archive → Scamper1 restructure (nodes → hop rows with
+    manufactured HopID, reference parser/scamper1.go:44-91)."""
+    import json
+
+    from etl_ray.parsers import parse_archives
+
+    tar = generate_scamper_archive(sf_dir)
+    parsed = parse_archives([tar]).to_pandas()
+    ok = parsed[parsed["error"].isna() & (parsed["datatype"] == "scamper1")]
+    rows = pd.json_normalize(ok["payload"].map(json.loads))
+    out = pd.DataFrame({
+        "hop_id": rows["hop_id"],
+        "addr": rows["addr"],
+        "q_ttl": rows["q_ttl"].astype("int64"),
+        "dst": rows["dst"],
+        "nodec": rows["nodec"].astype("int64"),
+        "hostname": rows["hostname"],
+    })
+    return out.sort_values(["hop_id"]).reset_index(drop=True)
+
+
 # ---------------------------------------------------- pollution retraction
 def _traceroute_frame(batch):
     """Deterministic traceroute-shaped fields from events (dest space 0-16,

@@ -11,16 +11,20 @@ lake on the shared filesystem / object store).
 
   Stage 1 (task pool, stateless): validate each batch, sort rows by
     bucket = shard % n_buckets, write ONE fragment file per batch with ONE
-    ROW GROUP per bucket under ``<exchange>/frag-*.parquet`` (tmp+rename
-    atomic). The returned stats table carries the (file, row_group) -> bucket
-    index, so no per-bucket directories and no small-file storm: fragment
-    file count == batch count, not batch x bucket (the round-1 layout peaked
-    at ~15k tiny files per commit at sf0.1; this writes ~60).
+    ROW GROUP (parquet) or RECORD BATCH (Arrow IPC) per bucket under
+    ``<exchange>/frag-*`` (tmp+rename atomic). The returned stats table
+    carries the (file, row_group) -> bucket index, so no per-bucket
+    directories and no small-file storm: fragment file count == batch
+    count, not batch x bucket (the round-1 layout peaked at ~15k tiny
+    files per commit at sf0.1; this writes ~60). Container format per
+    ``EngineConfig.exchange_format``: parquet for disk/shared-fs (half the
+    bytes), IPC for RAM-backed exchange roots (near-zero encode/decode).
   Stage 2 (task/actor pool, stateful): one task per bucket reads exactly its
-    row groups (parquet row-group-granular reads) and runs the per-shard LWW
-    apply (ApplyShards), pre-collapsing accumulated chunks per
-    (__shard, doc_id) whenever they exceed ``apply_chunk_rows`` so a backlog
-    bucket never materializes unbounded (max-by-seq is associative).
+    row groups / record batches (row-group-granular parquet reads;
+    memory-mapped zero-copy IPC) and runs the per-shard LWW apply
+    (ApplyShards), pre-collapsing accumulated chunks per (__shard, doc_id)
+    whenever they exceed ``apply_chunk_rows`` so a backlog bucket never
+    materializes unbounded (max-by-seq is associative).
 
 Crash safety: a failed attempt's fragments are wiped at the start of the
 retry (the exchange dir is keyed by the deterministic commit_id), and even
@@ -73,6 +77,7 @@ class FragmentWriter:
         self.exchange_dir = exchange_dir
         self.n_buckets = n_buckets
         self.compression = config.exchange_compression
+        self.fmt = config.exchange_format
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         if len(batch) == 0:
@@ -88,20 +93,38 @@ class FragmentWriter:
         starts = np.concatenate([[0], bounds]).astype(np.int64)
         ends = np.concatenate([bounds, [len(bs)]]).astype(np.int64)
         os.makedirs(self.exchange_dir, exist_ok=True)
-        rel = f"frag-{uuid.uuid4().hex}.parquet"
+        ext = "arrow" if self.fmt == "ipc" else "parquet"
+        rel = f"frag-{uuid.uuid4().hex}.{ext}"
         path = os.path.join(self.exchange_dir, rel)
         out = {"bucket": [], "rows": [], "quarantined": [], "row_group": []}
-        with pq.ParquetWriter(path + ".tmp", sb.schema,
-                              compression=self.compression) as w:
-            for rg, (s, e) in enumerate(zip(starts, ends)):
-                b = int(bs[s])
-                piece = sb.slice(int(s), int(e - s))
-                w.write_table(piece, row_group_size=len(piece))
-                out["bucket"].append(b)
-                out["rows"].append(len(piece))
-                out["quarantined"].append(
-                    len(piece) if b == self.n_buckets else 0)
-                out["row_group"].append(rg)
+
+        def record(rg, b, piece):
+            out["bucket"].append(b)
+            out["rows"].append(len(piece))
+            out["quarantined"].append(len(piece) if b == self.n_buckets else 0)
+            out["row_group"].append(rg)
+
+        if self.fmt == "ipc":
+            # one IPC record batch per bucket: ~free encode/decode — right
+            # for a RAM-backed exchange (see EngineConfig.exchange_format)
+            with pa.OSFile(path + ".tmp", "wb") as sink:
+                with pa.ipc.new_file(sink, sb.schema) as w:
+                    for rg, (s, e) in enumerate(zip(starts, ends)):
+                        piece = sb.slice(int(s), int(e - s)).combine_chunks()
+                        batches = piece.to_batches()
+                        if len(batches) != 1:  # defensive: batch idx == rg
+                            one = pa.Table.from_batches(
+                                batches).combine_chunks()
+                            batches = one.to_batches(max_chunksize=len(one))
+                        w.write_batch(batches[0])
+                        record(rg, int(bs[s]), piece)
+        else:
+            with pq.ParquetWriter(path + ".tmp", sb.schema,
+                                  compression=self.compression) as w:
+                for rg, (s, e) in enumerate(zip(starts, ends)):
+                    piece = sb.slice(int(s), int(e - s))
+                    w.write_table(piece, row_group_size=len(piece))
+                    record(rg, int(bs[s]), piece)
         os.replace(path + ".tmp", path)
         return pa.table(
             {
@@ -144,6 +167,7 @@ class ApplyBucket:
         self.exchange_dir = exchange_dir
         self.chunk_rows = config.apply_chunk_rows
         self.n_buckets = n_buckets
+        self._mmaps: List = []
 
     def _bucket_table(self, row: dict) -> pa.Table:
         from etl_ray.stages.merge import lww_last_per_keys
@@ -153,8 +177,17 @@ class ApplyBucket:
         acc: List[pa.Table] = []
         acc_rows = 0
         for f, rg in zip(row["files"], row["rgs"]):
-            t = pq.ParquetFile(
-                os.path.join(self.exchange_dir, f)).read_row_group(rg)
+            path = os.path.join(self.exchange_dir, f)
+            if f.endswith(".arrow"):
+                # memory-mapped IPC: the bucket's record batch is a
+                # zero-copy view (no decode). The map handle is kept for
+                # the instance's lifetime so the view stays valid.
+                mm = pa.memory_map(path, "r")
+                self._mmaps.append(mm)
+                t = pa.Table.from_batches(
+                    [pa.ipc.open_file(mm).get_batch(rg)])
+            else:
+                t = pq.ParquetFile(path).read_row_group(rg)
             acc.append(t)
             acc_rows += len(t)
             if collapsible and acc_rows > self.chunk_rows and len(acc) > 1:

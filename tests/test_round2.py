@@ -104,6 +104,21 @@ def test_tiny_apply_chunk_same_state_and_quarantine(tmp_wal, tmp_lake,
     assert_matches_oracle(tmp_lake, oracle_replay(paths, vocab=VOCAB))
 
 
+# ----------------------------------------------------- IPC exchange fragments
+@pytest.mark.usefixtures("ray_session")
+def test_ipc_exchange_same_state_as_parquet(tmp_wal, tmp_lake, tmp_path):
+    paths = generate_changelog(tmp_wal, n_events=1200, n_segments=3, seed=37,
+                               vocab=VOCAB, corrupt_frac=0.04)
+    replay(tmp_wal, tmp_lake, cfg(exchange_format="ipc"))
+    lake2 = str(tmp_path / "lake_pq")
+    os.makedirs(lake2)
+    replay(tmp_wal, lake2, cfg(exchange_format="parquet"))
+    a, b = lake_state(tmp_lake), lake_state(lake2)
+    assert a.equals(b)
+    assert len(read_quarantine(tmp_lake)) == len(read_quarantine(lake2)) > 0
+    assert_matches_oracle(tmp_lake, oracle_replay(paths, vocab=VOCAB))
+
+
 # -------------------------------------------------------- pruned merge-on-read
 @pytest.mark.usefixtures("ray_session")
 def test_pruned_read_equals_full_read(tmp_wal, tmp_lake):
