@@ -190,6 +190,56 @@ ORDER BY id_a, id_b
 """
 
 
+def _sql_ann_ivf(nlist: int = 8, nprobe: int = 3, k: int = 10,
+                 seed: int = 11) -> str:
+    """ivf_centroids(seed) embedded as DOUBLE[] literals; cell assignment
+    and probing reproduce the engine's argmax/argsort tie-breaks (lowest
+    centroid id wins)."""
+    from etl_ray.ops.similarity import ivf_centroids
+
+    C = ivf_centroids(64, nlist, seed)
+    cent_rows = ", ".join(
+        "(" + str(i) + ", CAST(["
+        + ",".join(repr(float(v)) for v in C[i]) + "] AS DOUBLE[]))"
+        for i in range(nlist))
+    return f"""
+WITH cent(cid, c) AS (VALUES {cent_rows}),
+q AS (SELECT vec_id AS query_id, embedding FROM embeddings
+      WHERE vec_id < 4),
+s AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id >= 4),
+sa AS (
+  SELECT vec_id, embedding, cid FROM (
+    SELECT s.vec_id, s.embedding, c.cid,
+           row_number() OVER (PARTITION BY s.vec_id ORDER BY
+             list_cosine_similarity(CAST(s.embedding AS DOUBLE[]), c.c)
+               DESC, c.cid) AS rn
+    FROM s, cent c) WHERE rn = 1
+),
+qp AS (
+  SELECT query_id, cid FROM (
+    SELECT q.query_id, c.cid,
+           row_number() OVER (PARTITION BY q.query_id ORDER BY
+             list_cosine_similarity(CAST(q.embedding AS DOUBLE[]), c.c)
+               DESC, c.cid) AS rn
+    FROM q, cent c) WHERE rn <= {nprobe}
+),
+scored AS (
+  SELECT q.query_id, sa.vec_id,
+         list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+                                CAST(sa.embedding AS DOUBLE[])) AS cos
+  FROM q JOIN qp ON qp.query_id = q.query_id
+  JOIN sa ON sa.cid = qp.cid
+),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY cos DESC, vec_id) AS rank
+  FROM scored
+)
+SELECT query_id, vec_id, round(cos, 4) AS score, rank
+FROM ranked WHERE rank <= {k} ORDER BY query_id, rank
+"""
+
+
 def _sql_lang_id() -> str:
     from etl_ray.functions.text import LANG_PROFILES
 
@@ -496,6 +546,30 @@ def _q_ann_topk(sf_dir: str):
     return out[["query_id", "vec_id", "score", "rank"]].reset_index(drop=True)
 
 
+def _q_ann_ivf_topk(sf_dir: str):
+    """IVF ANN: coarse-quantizer cell pruning (nprobe of nlist cells
+    scored per query) with exact cosine inside probed cells."""
+    import numpy as np
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from etl_ray.ops.similarity import ivf_topk
+
+    path = os.path.join(sf_dir, "embeddings.parquet")
+    qt = pq.read_table(path, columns=["vec_id", "embedding"],
+                       filters=[("vec_id", "<", 4)])
+    qids = qt["vec_id"].to_numpy(zero_copy_only=False)
+    Q = np.array(qt["embedding"].to_pylist(), dtype=np.float64)
+    ds = rd.read_parquet(path, columns=["vec_id", "embedding"]).map_batches(
+        lambda t: t.filter(pc.greater_equal(t["vec_id"], 4)),
+        batch_format="pyarrow",
+    )
+    out = ivf_topk(ds, qids, Q, k=10, nlist=8, nprobe=3, concurrency=2)
+    out["score"] = out["score"].round(4)
+    return out[["query_id", "vec_id", "score", "rank"]].reset_index(drop=True)
+
+
 def _q_text_tokens(sf_dir: str):
     import ray.data as rd
 
@@ -712,6 +786,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_embedding_cosine": _q_dedup_embedding,
         "dedup_lsh_embedding": _q_dedup_lsh_embedding,
         "ann_cosine_topk": _q_ann_topk,
+        "ann_ivf_topk": _q_ann_ivf_topk,
         "sessionize": _q_sessionize,
         "rolling_avg": _q_rolling_avg,
         "archive_ingest": _q_archive_ingest,
@@ -1049,6 +1124,7 @@ FROM pos GROUP BY bucket, p // 128 ORDER BY seq_id
 """,
         # sketch family: the portable-hash design makes the full LSH
         # machinery SQL-reproducible (see the _sql_* builders above)
+        "ann_ivf_topk": _sql_ann_ivf(8, 3, 10),
         "dedup_minhash_lsh": _sql_dedup_minhash(),
         "dedup_ngram_jaccard": _sql_dedup_ngram_jaccard(0.3),
         "dedup_simhash": _sql_dedup_simhash(10),

@@ -136,15 +136,15 @@ def run_bench() -> dict:
 
         docs_path = os.path.join(SF_DIR, "documents.parquet")
         if os.path.exists(docs_path):
-            # read the corpus 8x and hash in small batches: enough parallel
-            # work (hundreds of tasks, ~30 s single-core) that the scaling
-            # signal beats per-task scheduling noise
+            # read the corpus 64x and hash in small batches: ~40 s of
+            # single-core work across thousands of tasks, so the scaling
+            # signal beats per-task scheduling noise and fixed overheads
             def mh():
                 return rd.read_parquet(
-                    [docs_path] * 8, columns=["doc_id", "text"]
+                    [docs_path] * 64, columns=["doc_id", "text"]
                 ).map_batches(
                     MinHasher(num_perm=128), batch_format="pyarrow",
-                    batch_size=64,
+                    batch_size=128,
                 ).count()
 
             mh()
@@ -265,7 +265,8 @@ def run_scaling() -> dict:
         ).stdout
         return json.loads(out.strip().splitlines()[-1])
 
-    lo, hi = 8, 32
+    levels = os.environ.get("GRAFT_SCALING_LEVELS", "8,32")
+    lo, hi = (int(x) for x in levels.split(","))
     passes = int(os.environ.get("GRAFT_SCALING_PASSES", "2"))
     runs_lo, runs_hi = [], []
     for _ in range(passes):
@@ -283,15 +284,17 @@ def run_scaling() -> dict:
         "cpu_bound_scaling_efficiency": cpu_eff,
         "value": round(eff, 3),
         "unit": "ratio",
-        "sec_8": r_lo["value"],
-        "sec_32": r_hi["value"],
-        "events_per_sec_8": r_lo["events_per_sec"],
-        "events_per_sec_32": r_hi["events_per_sec"],
-        "all_runs_sec_8": [r["value"] for r in runs_lo],
-        "all_runs_sec_32": [r["value"] for r in runs_hi],
-        "minhash_signatures_sec": {"cpus8": mh_lo, "cpus32": mh_hi},
+        "cpus_lo": lo,
+        "cpus_hi": hi,
+        "sec_lo": r_lo["value"],
+        "sec_hi": r_hi["value"],
+        "events_per_sec_lo": r_lo["events_per_sec"],
+        "events_per_sec_hi": r_hi["events_per_sec"],
+        "all_runs_sec_lo": [r["value"] for r in runs_lo],
+        "all_runs_sec_hi": [r["value"] for r in runs_hi],
+        "minhash_signatures_sec": {"lo": mh_lo, "hi": mh_hi},
         "sf": r_lo["sf"],
-        "queries": {"cpus8": r_lo["queries"], "cpus32": r_hi["queries"]},
+        "queries": {"lo": r_lo["queries"], "hi": r_hi["queries"]},
     }
 
 

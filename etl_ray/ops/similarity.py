@@ -97,6 +97,88 @@ def cosine_topk(ds, query_ids, query_matrix, *, k: int = 10,
     return out
 
 
+def ivf_centroids(dim: int, nlist: int, seed: int = 11) -> np.ndarray:
+    """Deterministic data-independent coarse quantizer: seeded random unit
+    directions. (A trained k-means quantizer slots in here unchanged — the
+    data-independent variant keeps the op reproducible byte-for-byte across
+    corpora, which is also what lets the SQL oracle embed the centroids as
+    literals.)"""
+    rng = np.random.default_rng(seed)
+    return _normalize(rng.standard_normal((nlist, dim)))
+
+
+class IVFTopK:
+    """IVF-style ANN stage: vectors are assigned to their nearest coarse
+    centroid; a query scores ONLY vectors whose cell is among its ``nprobe``
+    closest cells — the classic inverted-file pruning, here evaluated
+    batch-wise with a mask (no index materialization; at cluster scale the
+    assignment doubles as a partition key so each cell is co-located)."""
+
+    def __init__(self, payload_ref, k: int, nprobe: int, id_col: str,
+                 vec_col: str):
+        import ray
+
+        p = ray.get(payload_ref)
+        self.query_ids = p["ids"]
+        self.Q = _normalize(np.asarray(p["matrix"], dtype=np.float64))
+        self.C = np.asarray(p["centroids"], dtype=np.float64)
+        # top-nprobe cells per query (nq, nprobe)
+        qc = self.Q @ self.C.T
+        self.probe = np.argsort(-qc, axis=1, kind="stable")[:, :nprobe]
+        self.k = k
+        self.id_col = id_col
+        self.vec_col = vec_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        X = _normalize(_matrix(batch[self.vec_col]))
+        ids = batch[self.id_col].to_numpy(zero_copy_only=False)
+        assign = np.argmax(X @ self.C.T, axis=1)  # (nb,)
+        scores = self.Q @ X.T  # (nq, nb)
+        eligible = (assign[None, :, None] == self.probe[:, None, :]).any(-1)
+        scores = np.where(eligible, scores, -np.inf)
+        k = min(self.k, scores.shape[1])
+        top = np.argpartition(-scores, k - 1, axis=1)[:, :k]
+        qi_idx = np.repeat(np.arange(scores.shape[0]), k)
+        vj_idx = top.reshape(-1)
+        sc = scores[qi_idx, vj_idx]
+        keep = np.isfinite(sc)
+        return pa.table({
+            "query_id": pa.array(
+                np.asarray(self.query_ids)[qi_idx[keep]], pa.int64()),
+            "vec_id": pa.array(np.asarray(ids)[vj_idx[keep]], pa.int64()),
+            "score": pa.array(sc[keep], pa.float64()),
+        })
+
+
+def ivf_topk(ds, query_ids, query_matrix, *, k: int = 10, nlist: int = 8,
+             nprobe: int = 3, seed: int = 11, id_col: str = "vec_id",
+             vec_col: str = "embedding", concurrency: int = 4) -> pd.DataFrame:
+    """IVF ANN top-k: centroids + queries broadcast once via ray.put;
+    per-batch masked scoring + partial top-k; tiny driver reduce."""
+    import ray
+
+    Q = np.asarray(query_matrix, dtype=np.float64)
+    C = ivf_centroids(Q.shape[1], nlist, seed)
+    ref = ray.put({"ids": np.asarray(query_ids), "matrix": Q,
+                   "centroids": C})
+    partials = ds.map_batches(
+        IVFTopK,
+        fn_constructor_args=(ref, k, nprobe, id_col, vec_col),
+        batch_format="pyarrow",
+        concurrency=concurrency,
+        num_cpus=1,
+    ).to_pandas()
+    out = (
+        partials.sort_values(["query_id", "score", "vec_id"],
+                             ascending=[True, False, True])
+        .groupby("query_id", sort=True)
+        .head(k)
+        .reset_index(drop=True)
+    )
+    out["rank"] = out.groupby("query_id").cumcount() + 1
+    return out
+
+
 class NearDupPairs:
     """All-pairs cosine ≥ threshold against a broadcast index; emits each
     pair once (id_a < id_b)."""

@@ -101,6 +101,10 @@ def _storage_exchange_apply(seg_paths, lake_dir, commit_id, config, target,
         exchange_path,
     )
 
+    import os as _os
+
+    prof = _os.environ.get("ETL_RAY_PROFILE") == "1"
+    t0 = time.monotonic()
     # wipe any fragments from a crashed attempt of this same commit: the
     # retry regenerates them deterministically
     cleanup_exchange(lake_dir, commit_id, config.exchange_root)
@@ -116,6 +120,10 @@ def _storage_exchange_apply(seg_paths, lake_dir, commit_id, config, target,
         batch_format="pyarrow",
         batch_size=config.batch_size,
     ).to_pandas()
+    if prof:
+        print(f"[profile] stage1 validate+split: "
+              f"{time.monotonic() - t0:.2f}s", flush=True)
+        t0 = time.monotonic()
 
     items = bucket_descriptors(frag_stats, n_buckets)
     if not items:
@@ -147,7 +155,13 @@ def _storage_exchange_apply(seg_paths, lake_dir, commit_id, config, target,
         ).to_pandas()
     finally:
         ctx.target_min_block_size = prev_min
+    if prof:
+        print(f"[profile] stage2 apply: {time.monotonic() - t0:.2f}s",
+              flush=True)
+        t0 = time.monotonic()
     cleanup_exchange(lake_dir, commit_id, config.exchange_root)
+    if prof:
+        print(f"[profile] cleanup: {time.monotonic() - t0:.2f}s", flush=True)
     return stats_tbl
 
 

@@ -1,0 +1,134 @@
+"""Request-driven worker service: the reference's HTTP entry points.
+
+m-lab/etl's parser runs as an HTTP service: a task queue / Gardener POSTs
+one archive filename per request to ``/v2/worker`` and the worker processes
+it synchronously, returning 200 on success (reference
+cmd/etl_worker/etl_worker.go:118-158); ``active/poller.go:152-216`` is the
+pull-based alternative the CLI's ``--poll`` flag covers.
+
+Analog: a stdlib ThreadingHTTPServer in front of the SAME engine paths —
+``/v2/worker?archive=<path>`` parses one archive through the registry
+pipeline; ``/replay?wal=&lake=`` applies one CDC commit; ``/status?lake=``
+returns the manifest summary. One Ray session is shared by all requests
+(the server owns it, like any CLI entry point); requests serialize through
+a lock because a single worker processes one task at a time — the
+reference's ``max_active`` admission control collapses to 1 here, scale-out
+is more worker replicas (k8s/data-pipeline/deployments/parser.yml:7).
+"""
+
+from __future__ import annotations
+
+import json
+import threading
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from urllib.parse import parse_qs, urlparse
+
+
+class WorkerService:
+    """Embeddable one-shot worker. ``serve_forever`` blocks; tests drive it
+    on an ephemeral port in a thread."""
+
+    def __init__(self, host: str = "127.0.0.1", port: int = 0):
+        self._lock = threading.Lock()
+        service = self
+
+        class Handler(BaseHTTPRequestHandler):
+            def log_message(self, fmt, *args):  # quiet
+                pass
+
+            def _reply(self, code: int, payload: dict):
+                body = json.dumps(payload).encode()
+                self.send_response(code)
+                self.send_header("Content-Type", "application/json")
+                self.send_header("Content-Length", str(len(body)))
+                self.end_headers()
+                self.wfile.write(body)
+
+            def do_GET(self):
+                self.do_POST()
+
+            def do_POST(self):
+                url = urlparse(self.path)
+                q = {k: v[0] for k, v in parse_qs(url.query).items()}
+                try:
+                    if url.path == "/health":
+                        self._reply(200, {"ok": True})
+                    elif url.path == "/v2/worker":
+                        self._reply(200, service.process_archive(q["archive"]))
+                    elif url.path == "/replay":
+                        self._reply(200, service.replay_once(
+                            q["wal"], q["lake"]))
+                    elif url.path == "/status":
+                        self._reply(200, service.status(q["lake"]))
+                    else:
+                        self._reply(404, {"error": "unknown path"})
+                except KeyError as e:
+                    self._reply(400, {"error": f"missing param {e}"})
+                except Exception as e:  # one bad task must not kill the pod
+                    self._reply(500, {"error": str(e)})
+
+        self.httpd = ThreadingHTTPServer((host, port), Handler)
+        self.port = self.httpd.server_address[1]
+
+    # ------------------------------------------------------------ handlers
+    def process_archive(self, archive: str) -> dict:
+        """One-shot archive parse (the /v2/worker contract): counts parsed
+        vs errored members, like the reference's per-task metrics."""
+        from etl_ray.parsers import parse_archives
+
+        with self._lock:
+            parsed = parse_archives([archive]).to_pandas()
+        err = parsed["error"].notna()
+        return {
+            "archive": archive,
+            "rows": int((~err).sum()),
+            "errors": int(err.sum()),
+            "datatypes": sorted(
+                parsed.loc[~err, "datatype"].dropna().unique().tolist()),
+        }
+
+    def replay_once(self, wal: str, lake: str) -> dict:
+        from etl_ray.config import EngineConfig
+        from etl_ray.pipelines.replay import replay_once
+
+        with self._lock:
+            cs = replay_once(wal, lake, EngineConfig())
+        if cs is None:
+            return {"applied": 0, "caught_up": True}
+        return {"applied": cs.events_in, "quarantined": cs.quarantined,
+                "commit_id": cs.commit_id, "caught_up": False}
+
+    def status(self, lake: str) -> dict:
+        from etl_ray.state.manifest import Manifest
+
+        m = Manifest.load(lake)
+        return {
+            "version": m.version,
+            "applied_through_segment": m.applied_through_segment,
+            "partitions": len(m.partitions),
+            "lineage": {k: v for k, v in m.lineage.items() if k != "commits"},
+        }
+
+    # ----------------------------------------------------------- lifecycle
+    def serve_forever(self):
+        self.httpd.serve_forever()
+
+    def shutdown(self):
+        self.httpd.shutdown()
+        self.httpd.server_close()
+
+
+def main(argv=None):  # pragma: no cover - thin CLI shim
+    import argparse
+
+    ap = argparse.ArgumentParser(description="etl_ray one-shot worker")
+    ap.add_argument("--host", default="127.0.0.1")
+    ap.add_argument("--port", type=int, default=8080)
+    args = ap.parse_args(argv)
+    svc = WorkerService(args.host, args.port)
+    print(f"worker listening on {args.host}:{svc.port}")
+    svc.serve_forever()
+
+
+if __name__ == "__main__":  # pragma: no cover
+    main()

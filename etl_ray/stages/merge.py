@@ -14,17 +14,21 @@ import pyarrow.compute as pc
 
 
 def lww_last_per_doc(table: pa.Table, *, id_col: str = "doc_id",
-                     seq_col: str = "sequence_number") -> pa.Table:
+                     seq_col: str = "sequence_number",
+                     presorted: bool = False) -> pa.Table:
     """Keep, per doc_id, the row with the largest sequence_number.
 
     Sorts by (doc_id asc, seq asc) then filters to run boundaries — a single
     Arrow sort + one vectorized compare; no per-row Python. Output is sorted
     by doc_id (the on-disk order of delta/base files, enabling future
-    streaming sort-merge compaction).
+    streaming sort-merge compaction). ``presorted=True`` skips the sort when
+    the caller already ordered the rows (the apply stage sorts once by
+    (shard, doc, seq) and splits — half the sort traffic).
     """
     if len(table) == 0:
         return table
-    table = table.sort_by([(id_col, "ascending"), (seq_col, "ascending")])
+    if not presorted:
+        table = table.sort_by([(id_col, "ascending"), (seq_col, "ascending")])
     ids = table[id_col].combine_chunks()
     n = len(ids)
     # run-boundary mask: row i is last of its doc iff ids[i] != ids[i+1]
