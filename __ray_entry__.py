@@ -546,6 +546,55 @@ def _q_ann_topk(sf_dir: str):
     return out[["query_id", "vec_id", "score", "rank"]].reset_index(drop=True)
 
 
+def _q_dim_broadcast_join(sf_dir: str):
+    """Broadcast small-side dimension join: events × nation × region
+    (lookup frames ray.put once, probed vectorized per batch — no shuffle).
+    Aggregates event value per region name."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from etl_ray.ops.joins import broadcast_join
+
+    nation = pq.read_table(os.path.join(sf_dir, "nation.parquet")).to_pandas()
+    region = pq.read_table(os.path.join(sf_dir, "region.parquet")).to_pandas()
+    dim = nation.merge(region, left_on="n_regionkey",
+                       right_on="r_regionkey")[
+        ["n_nationkey", "n_name", "r_name"]]
+    dim["n_nationkey"] = dim["n_nationkey"].astype("int64")
+
+    ds = rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                         columns=["event_id", "user_id", "value"])
+
+    def key(batch: pa.Table) -> pa.Table:
+        uid = batch["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return batch.append_column("n_nationkey", pa.array(uid % 25))
+
+    joined = broadcast_join(ds.map_batches(key, batch_format="pyarrow"),
+                            dim, left_on="n_nationkey",
+                            right_on="n_nationkey")
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.assign(cents=np.round(df["value"].to_numpy() * 100)
+                       .astype(np.int64))
+        return df.groupby(["r_name", "n_name"], as_index=False).agg(
+            n_events=("event_id", "size"), sum_cents=("cents", "sum"))
+
+    from ray.data.aggregate import Sum
+
+    out = (
+        joined.map_batches(partial, batch_format="pandas")
+        .groupby(["r_name", "n_name"])
+        .aggregate(Sum("n_events", alias_name="n_events"),
+                   Sum("sum_cents", alias_name="sum_cents"))
+        .to_pandas()
+    )
+    out["sum_value"] = out.pop("sum_cents") / 100.0
+    return out.sort_values(["r_name", "n_name"]).reset_index(drop=True)
+
+
 def _q_ann_ivf_topk(sf_dir: str):
     """IVF ANN: coarse-quantizer cell pruning (nprobe of nlist cells
     scored per query) with exact cosine inside probed cells."""
@@ -787,6 +836,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_lsh_embedding": _q_dedup_lsh_embedding,
         "ann_cosine_topk": _q_ann_topk,
         "ann_ivf_topk": _q_ann_ivf_topk,
+        "dim_broadcast_join": _q_dim_broadcast_join,
         "sessionize": _q_sessionize,
         "rolling_avg": _q_rolling_avg,
         "archive_ingest": _q_archive_ingest,
@@ -911,6 +961,16 @@ WITH q AS (SELECT vec_id AS query_id, embedding FROM embeddings
        FROM scored)
 SELECT query_id, vec_id, round(cos, 4) AS score, rank
 FROM ranked WHERE rank <= 10 ORDER BY query_id, rank
+""",
+        "dim_broadcast_join": """
+SELECT r.r_name, n.n_name,
+       count(*) AS n_events,
+       CAST(sum(CAST(round(e.value * 100) AS BIGINT)) AS DOUBLE) / 100.0
+         AS sum_value
+FROM events e
+JOIN nation n ON n.n_nationkey = e.user_id % 25
+JOIN region r ON r.r_regionkey = n.n_regionkey
+GROUP BY 1, 2 ORDER BY 1, 2
 """,
         "sessionize": """
 WITH o AS (
