@@ -7,8 +7,13 @@ The cdc_* queries run the FULL engine end-to-end (changelog derived
 deterministically from the events table → validate → shuffle → actor-pool
 apply → manifest commit → merge-on-read), and the SQL oracle recomputes the
 final lake state with an ANSI window query — so the driver's value-hash
-check covers LWW upserts, deletes, exactly-once resume, salting, compaction
-and schema evolution, not just per-batch transforms.
+check covers LWW upserts, deletes, exactly-once resume, salting, compaction,
+schema evolution, retraction and correction rules, not just per-batch
+transforms. EVERY query has a DuckDB oracle: the sketch family
+(minhash/simhash/LSH/jaccard/IVF) is reproduced in HUGEINT SQL because the
+engine's hashing is deliberately portable (md5 word hashes + a sub-2^62
+fold multiplier; see the _sql_* builders below and
+etl_ray/ops/dedup.py's module docstring).
 """
 
 from __future__ import annotations
