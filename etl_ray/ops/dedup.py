@@ -446,10 +446,14 @@ def verify_candidates(ds, cand, *, threshold: float, shingle_n: int = 3,
         join_type="inner", num_partitions=num_partitions,
         aggregator_ray_remote_args={"memory": 256 << 20, "num_cpus": 0.5},
     )
+    # joined twice (one side per join): the packed sets are a fraction of
+    # the text corpus (~8 B/shingle), so caching beats re-reading and
+    # re-shingling the documents for the second join
     shingled = ds.map_batches(
         ShingleSets(shingle_n=shingle_n, text_col=text_col, id_col=id_col),
         batch_format="pyarrow",
-    )
+    ).materialize()
+
     def rename(old: str, new: str):
         def f(t: pa.Table) -> pa.Table:
             return t.rename_columns(
