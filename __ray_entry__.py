@@ -245,6 +245,40 @@ FROM ranked WHERE rank <= {k} ORDER BY query_id, rank
 """
 
 
+def _sql_hll_registers(p: int = 8) -> str:
+    """HLL register table: bucket = top p hash bits, rho = leading-zero
+    count of the remainder + 1, exact integer math via length(bin(x))."""
+    h = _md5le64_sql("CAST(user_id AS VARCHAR)")
+    mask = (1 << (64 - p)) - 1
+    return f"""
+WITH hashes AS (SELECT {h} AS h FROM events),
+parts AS (
+  SELECT CAST(h >> {64 - p} AS BIGINT) AS bucket,
+         h & {mask} AS rem
+  FROM hashes
+)
+SELECT bucket,
+       max({64 - p} - CASE WHEN rem = 0 THEN 0
+                      ELSE length(bin(rem)) END + 1) AS rho
+FROM parts GROUP BY bucket ORDER BY bucket
+"""
+
+
+def _sql_cms_counts(depth: int = 4, width: int = 64) -> str:
+    selects = []
+    for i in range(depth):
+        h = _md5le64_sql(f"'{i}|' || event_type")
+        selects.append(
+            f"SELECT {i} AS row, CAST({h} % {width} AS BIGINT) AS bucket "
+            f"FROM events")
+    union = "\nUNION ALL\n".join(selects)
+    return f"""
+WITH cells AS ({union})
+SELECT row, bucket, count(*) AS n
+FROM cells GROUP BY row, bucket ORDER BY row, bucket
+"""
+
+
 def _sql_lang_id() -> str:
     from etl_ray.functions.text import LANG_PROFILES
 
@@ -600,6 +634,31 @@ def _q_dim_broadcast_join(sf_dir: str):
     return out.sort_values(["r_name", "n_name"]).reset_index(drop=True)
 
 
+def _q_hll_registers(sf_dir: str):
+    """HyperLogLog distinct-user sketch STATE (mergeable partial agg; the
+    oracle checks every register cell, not just the estimate)."""
+    import ray.data as rd
+
+    from etl_ray.ops.sketches import hll_registers
+
+    ds = rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                         columns=["user_id"])
+    out = hll_registers(ds, "user_id", p=8).to_pandas()
+    return out.sort_values("bucket").reset_index(drop=True)
+
+
+def _q_cms_counts(sf_dir: str):
+    """Count-Min frequency sketch state over event_type."""
+    import ray.data as rd
+
+    from etl_ray.ops.sketches import cms_counts
+
+    ds = rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                         columns=["event_type"])
+    out = cms_counts(ds, "event_type", depth=4, width=64).to_pandas()
+    return out.sort_values(["row", "bucket"]).reset_index(drop=True)
+
+
 def _q_ann_ivf_topk(sf_dir: str):
     """IVF ANN: coarse-quantizer cell pruning (nprobe of nlist cells
     scored per query) with exact cosine inside probed cells."""
@@ -842,6 +901,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_cosine_topk": _q_ann_topk,
         "ann_ivf_topk": _q_ann_ivf_topk,
         "dim_broadcast_join": _q_dim_broadcast_join,
+        "hll_registers": _q_hll_registers,
+        "cms_counts": _q_cms_counts,
         "sessionize": _q_sessionize,
         "rolling_avg": _q_rolling_avg,
         "archive_ingest": _q_archive_ingest,
@@ -1190,6 +1251,8 @@ FROM pos GROUP BY bucket, p // 128 ORDER BY seq_id
         # sketch family: the portable-hash design makes the full LSH
         # machinery SQL-reproducible (see the _sql_* builders above)
         "ann_ivf_topk": _sql_ann_ivf(8, 3, 10),
+        "hll_registers": _sql_hll_registers(8),
+        "cms_counts": _sql_cms_counts(4, 64),
         "dedup_minhash_lsh": _sql_dedup_minhash(),
         "dedup_ngram_jaccard": _sql_dedup_ngram_jaccard(0.3),
         "dedup_simhash": _sql_dedup_simhash(10),

@@ -1,0 +1,114 @@
+"""Mergeable sketches: HyperLogLog distinct-count and Count-Min frequency.
+
+The streaming-aggregate capability class a web-scale pipeline needs for
+cardinality/frequency estimation over columns too big to hold exactly.
+Both sketches here are MERGEABLE partial aggregates, which is the whole
+point at 100 TB: each batch folds its rows into a tiny sketch (vectorized),
+the shuffle moves only sketch cells (never rows), and the combine is an
+elementwise max (HLL) / sum (CMS) via a hash-combinable groupby aggregate.
+
+Hashing is the engine's portable md5le64 (etl_ray.ops.dedup), so the
+register/count tables are EXACTLY reproducible in SQL — the driver's oracle
+checks the sketch state cell-for-cell, not just an estimate:
+
+  * HLL: bucket = top ``p`` hash bits; rho = leading-zero count of the
+    remaining ``64-p`` bits + 1 (exact via a bit-smear popcount — no float
+    log2 edge cases); register[bucket] = max(rho).
+  * CMS: ``depth`` independent rows, hash_i(x) = md5le64(f"{i}|{x}") mod
+    ``width``; cell = count.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from etl_ray.ops.dedup import md5le64, popcount64
+
+
+def _bit_length64(x: np.ndarray) -> np.ndarray:
+    """Exact integer bit length per uint64 (0 → 0) via smear + popcount;
+    no float conversion (log2 would round across 2^53 boundaries)."""
+    x = x.copy()
+    for s in (1, 2, 4, 8, 16, 32):
+        x |= x >> np.uint64(s)
+    return popcount64(x)
+
+
+def hll_partial(values: np.ndarray, p: int = 8) -> pd.DataFrame:
+    """One batch → (bucket, rho) rows pre-maxed within the batch."""
+    h = md5le64(values.astype(object))
+    if len(h) == 0:
+        return pd.DataFrame({"bucket": pd.Series([], dtype="int64"),
+                             "rho": pd.Series([], dtype="int64")})
+    bucket = (h >> np.uint64(64 - p)).astype(np.int64)
+    rem = h & np.uint64((1 << (64 - p)) - 1)
+    rho = (64 - p) - _bit_length64(rem) + 1  # rem==0 → 64-p+1
+    df = pd.DataFrame({"bucket": bucket, "rho": rho})
+    return df.groupby("bucket", as_index=False)["rho"].max()
+
+
+def hll_registers(ds, col: str, *, p: int = 8):
+    """Dataset → (bucket, rho) register table: per-batch partial fold, then
+    ONE tiny groupby-max over ≤2^p cells per batch."""
+    from ray.data.aggregate import Max
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        return hll_partial(df[col].astype(str).to_numpy(dtype=object), p)
+
+    return (
+        ds.map_batches(partial, batch_format="pandas")
+        .groupby("bucket")
+        .aggregate(Max("rho", alias_name="rho"))
+    )
+
+
+def hll_estimate(registers: pd.DataFrame, p: int = 8) -> float:
+    """Standard HLL estimator (bias-corrected for the small range) from a
+    (bucket, rho) register table."""
+    m = 1 << p
+    rho = np.zeros(m)
+    rho[registers["bucket"].to_numpy()] = registers["rho"].to_numpy()
+    alpha = 0.7213 / (1 + 1.079 / m)
+    est = alpha * m * m / np.sum(2.0 ** -rho)
+    zeros = m - (rho > 0).sum()
+    if est <= 2.5 * m and zeros:
+        est = m * np.log(m / zeros)
+    return float(est)
+
+
+def cms_counts(ds, col: str, *, depth: int = 4, width: int = 64):
+    """Count-Min sketch state: (row, bucket, n) cells. Per-batch partial
+    counts, then ONE groupby-sum over ≤ depth×width cells per batch."""
+    from ray.data.aggregate import Sum
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        vals = df[col].astype(str).to_numpy(dtype=object)
+        outs = []
+        for i in range(depth):
+            salted = np.array([f"{i}|{v}" for v in vals], dtype=object)
+            b = (md5le64(salted) % np.uint64(width)).astype(np.int64)
+            c = pd.DataFrame({"row": i, "bucket": b})
+            outs.append(c.groupby(["row", "bucket"], as_index=False)
+                        .size().rename(columns={"size": "n"}))
+        return pd.concat(outs, ignore_index=True)
+
+    return (
+        ds.map_batches(partial, batch_format="pandas")
+        .groupby(["row", "bucket"])
+        .aggregate(Sum("n", alias_name="n"))
+    )
+
+
+def cms_query(cells: pd.DataFrame, value, *, depth: int = 4,
+              width: int = 64) -> int:
+    """Point frequency estimate: min over the value's depth cells."""
+    est = None
+    lookup = cells.set_index(["row", "bucket"])["n"]
+    for i in range(depth):
+        b = int(md5le64(np.array([f"{i}|{value}"], dtype=object))[0]
+                % np.uint64(width))
+        n = int(lookup.get((i, b), 0))
+        est = n if est is None else min(est, n)
+    return est
