@@ -102,7 +102,22 @@ def main(argv=None) -> int:
     sp.add_argument("--out", required=True)
     common(sp)
 
+    sp = sub.add_parser(
+        "worker", help="HTTP one-shot worker (/v2/worker, /replay, /status)")
+    sp.add_argument("--host", default="127.0.0.1")
+    sp.add_argument("--port", type=int, default=8080)
+    sp.add_argument("--num-cpus", type=int, default=None)
+
     args = p.parse_args(argv)
+
+    if args.cmd == "worker":
+        from etl_ray.service import WorkerService
+
+        _init_ray(args.num_cpus)
+        svc = WorkerService(args.host, args.port)
+        print(f"worker listening on {args.host}:{svc.port}", flush=True)
+        svc.serve_forever()
+        return 0
 
     if args.cmd == "status":
         from etl_ray.state.manifest import Manifest
