@@ -245,3 +245,32 @@ def test_fragment_file_per_batch_row_group_per_bucket(tmp_path):
             assert (shard % n_buckets == d["bucket"]).all()
             total += len(t)
     assert total == 900
+
+
+# ------------------------------------------- salting survives compaction
+@pytest.mark.usefixtures("ray_session")
+def test_salted_parts_survive_compaction(tmp_wal, tmp_lake):
+    """ADVICE r01: a compaction commit (no per_partition key) must not
+    reset hot-partition salting — the salted-parts lookup scans back to
+    the most recent replay commit."""
+    from etl_ray.pipelines.compaction import compact
+    from etl_ray.pipelines.replay import _salted_parts
+
+    paths = generate_changelog(tmp_wal, n_events=900, n_segments=3, seed=38,
+                               vocab=VOCAB)
+    c = cfg(salt_threshold=1, max_salt=4)
+    replay(tmp_wal, tmp_lake, c, segments_per_commit=1, max_commits=2)
+    m = Manifest.load(tmp_lake)
+    before = _salted_parts(m, c)
+    assert before  # hot partitions flagged after a replay commit
+    compact(tmp_lake, c, force=True)
+    m2 = Manifest.load(tmp_lake)
+    assert m2.lineage["commits"][-1]["commit_id"].startswith("compact-")
+    assert _salted_parts(m2, c) == before  # unchanged by compaction
+    # and the next replay still salts: delta files with salt suffixes > 0
+    replay(tmp_wal, tmp_lake, c)
+    m3 = Manifest.load(tmp_lake)
+    salted_files = [f for p in m3.partitions.values() for f in p.files
+                    if "-s1" in f or "-s2" in f or "-s3" in f]
+    assert salted_files
+    assert_matches_oracle(tmp_lake, oracle_replay(paths, vocab=VOCAB))
