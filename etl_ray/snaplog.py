@@ -80,9 +80,17 @@ def write_snaplog(fields: List[Tuple[str, str]], columns: Dict[str, np.ndarray],
     return b"".join(lines) + body
 
 
-def decode_snaplog(data: bytes) -> Tuple[pa.Table, int]:
+# the reference caps snapshots parsed per log at 2800 (≈14 s of 5 ms polls)
+# as an OOM/latency guard, parser/ndt.go:41-54
+DEFAULT_MAX_SNAPSHOTS = 2800
+
+
+def decode_snaplog(data: bytes,
+                   max_snapshots: int = DEFAULT_MAX_SNAPSHOTS
+                   ) -> Tuple[pa.Table, int]:
     """Binary snaplog → (Arrow table of all snapshots, logtime). One
-    np.frombuffer over the whole body; magic verified vectorized."""
+    np.frombuffer over the whole body; magic verified vectorized. Records
+    beyond ``max_snapshots`` are truncated (the reference's snapshot cap)."""
     if not data.startswith(MAGIC_HEADER):
         raise ValueError("bad snaplog magic")
     end = data.find(END_OF_HEADER)
@@ -116,6 +124,9 @@ def decode_snaplog(data: bytes) -> Tuple[pa.Table, int]:
     if len(body) % stride != 0:
         raise ValueError("corrupted body (not a whole number of records)")
     n = len(body) // stride
+    if max_snapshots is not None and n > max_snapshots:
+        n = max_snapshots
+        body = body[: n * stride]
 
     # skip deprecated fields; canonicalize the rest (web100/web100.go:219-233)
     live = [(CANONICAL_RENAMES.get(nm, nm), ty, off) for nm, ty, off in specs

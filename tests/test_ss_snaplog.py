@@ -181,3 +181,13 @@ def test_zstd_member_decode_and_dispatch(tmp_path):
     assert {p["DataOctetsOut"] for p in payloads} == {77}
     bad = df[~df["error"].isna()]
     assert len(bad) == 1
+
+
+def test_snaplog_snapshot_cap():
+    """Reference ndt.go:41-54: parse at most the snapshot cap (OOM guard)."""
+    data, cols = make_snaplog(10)
+    t, _ = decode_snaplog(data, max_snapshots=4)
+    assert len(t) == 4
+    assert t["SegsOut"].to_pylist() == cols["PktsOut"][:4].astype(int).tolist()
+    full, _ = decode_snaplog(data)
+    assert len(full) == 10
