@@ -468,6 +468,22 @@ def _q_cdc_replay_corrected(sf_dir: str):
     return A.lake_final_state(lake)
 
 
+def _q_cdc_time_travel(sf_dir: str):
+    """Time travel: read a HISTORICAL lake snapshot (manifest version 1 =
+    state after only the first changelog segment was applied)."""
+    from etl_ray.lake import read_lake
+    from etl_ray.pipelines import analogs as A
+
+    _, lake, _ = _replay_events(sf_dir, tag="tt", segments_per_commit=1)
+    df = read_lake(lake, include_seq=True, version=1).to_pandas()
+    df = df.rename(columns={"sequence_number": "last_seq"})
+    return (
+        df[["doc_id", "last_seq", "value", "event_type"]]
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+
+
 def _q_pt_pollution(sf_dir: str):
     """Pollution-buffer flags (reference parser/pt.go:627-669 analog)."""
     from etl_ray.pipelines.telemetry import pt_pollution
@@ -883,6 +899,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cdc_watermarks": _q_cdc_watermarks,
         "cdc_replay_retraction": _q_cdc_replay_retraction,
         "cdc_replay_corrected": _q_cdc_replay_corrected,
+        "cdc_time_travel": _q_cdc_time_travel,
         "pt_pollution": _q_pt_pollution,
         # parser analogs (SURVEY.md §2.3-2.5, §2.8)
         "switch_group_agg": A.switch_group_agg,
@@ -1072,6 +1089,22 @@ SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars,
             ELSE len(regexp_split_to_array(trim(text), '\\s+')) END
             AS BIGINT) AS n_words
 FROM documents ORDER BY doc_id
+""",
+        "cdc_time_travel": """
+WITH seg0 AS (
+  SELECT * FROM events ORDER BY event_id LIMIT 4000
+), c AS (
+  SELECT CAST(user_id AS VARCHAR) AS doc_id,
+         event_id AS last_seq, value, event_type,
+         CASE WHEN event_type = 'error' THEN 'delete' ELSE 'insert' END AS op
+  FROM seg0
+), r AS (
+  SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY last_seq DESC) rn
+  FROM c
+)
+SELECT doc_id, last_seq, value, event_type
+FROM r WHERE rn = 1 AND op <> 'delete'
+ORDER BY doc_id
 """,
         "cdc_replay_corrected": """
 WITH c AS (

@@ -97,6 +97,9 @@ def main(argv=None) -> int:
 
     sp = sub.add_parser("gc", help="remove uncommitted orphan files")
     sp.add_argument("--lake", required=True)
+    sp.add_argument("--prune", type=int, default=None, metavar="KEEP_LAST",
+                    help="also retire history: keep only the last N manifest"
+                         " versions, then reclaim their files (VACUUM)")
 
     sp = sub.add_parser("export", help="export live rows as JSONL")
     sp.add_argument("--out", required=True)
@@ -141,7 +144,8 @@ def main(argv=None) -> int:
     if args.cmd == "gc":
         from etl_ray.state.manifest import Manifest
 
-        removed = Manifest.load(args.lake).gc()
+        m = Manifest.load(args.lake)
+        removed = m.prune(args.prune) if args.prune is not None else m.gc()
         print(json.dumps({"removed": removed}))
         return 0
 

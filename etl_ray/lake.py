@@ -96,14 +96,18 @@ def read_lake(
     columns: Optional[List[str]] = None,
     concurrency: Optional[int] = None,
     use_actor_pool: bool = False,
+    version: Optional[int] = None,
 ):
-    """Current committed state of the lake as a ``ray.data.Dataset``
-    (one block per partition; streaming merge-on-read, no shuffle)."""
+    """Committed state of the lake as a ``ray.data.Dataset`` (one block per
+    partition; streaming merge-on-read, no shuffle). ``version`` reads a
+    HISTORICAL snapshot (time travel) — any past manifest version
+    reconstructs exactly, since data files are immutable once listed and
+    only ``gc()`` removes superseded ones."""
     import ray.data as rd
 
     from etl_ray.util import descriptor_dataset
 
-    manifest = Manifest.load(lake_dir)
+    manifest = Manifest.load(lake_dir, version=version)
     descs = partition_descriptors(manifest)
     if not descs:
         schema = manifest.schema or pa.schema([pa.field("doc_id", pa.string())])

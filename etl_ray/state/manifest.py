@@ -118,13 +118,24 @@ class Manifest:
         }
 
     @staticmethod
-    def load(lake_dir: str) -> "Manifest":
-        """Load the committed manifest, or a fresh v0 if none exists."""
+    def load(lake_dir: str, version: Optional[int] = None) -> "Manifest":
+        """Load the committed manifest, or a fresh v0 if none exists.
+
+        ``version`` loads a HISTORICAL manifest (time travel): every commit
+        keeps its ``v<N>.json``, and data files are immutable once listed,
+        so any past version reconstructs that snapshot exactly — the
+        Delta-Lake-style log-of-versions pattern the atomic-CURRENT design
+        buys for free. Compaction keeps old generations' files on disk
+        until ``gc()``; time travel across a gc'd boundary raises on read.
+        """
         current = os.path.join(lake_dir, MANIFEST_DIR, "CURRENT")
-        if not os.path.exists(current):
+        if version is None:
+            if not os.path.exists(current):
+                return Manifest(lake_dir=lake_dir)
+            with open(current) as f:
+                version = int(f.read().strip())
+        elif version == 0:
             return Manifest(lake_dir=lake_dir)
-        with open(current) as f:
-            version = int(f.read().strip())
         with open(os.path.join(lake_dir, MANIFEST_DIR, f"v{version}.json")) as f:
             d = json.load(f)
         m = Manifest(
@@ -164,10 +175,37 @@ class Manifest:
         os.replace(tmp, cur)
 
     # ------------------------------------------------------------- utility
+    def _versions_on_disk(self) -> List[int]:
+        import re
+
+        out = []
+        if not os.path.isdir(self.manifest_dir):
+            return out
+        for fn in os.listdir(self.manifest_dir):
+            m = re.match(r"^v(\d+)\.json$", fn)
+            if m:
+                out.append(int(m.group(1)))
+        return sorted(out)
+
+    def _live_across_versions(self) -> set:
+        """Union of data files referenced by ANY retained manifest version —
+        the set time travel still needs."""
+        live = set()
+        for v in self._versions_on_disk():
+            with open(os.path.join(self.manifest_dir, f"v{v}.json")) as f:
+                d = json.load(f)
+            for p in d.get("partitions", {}).values():
+                live.update(p["files"])
+            live.update(d.get("quarantine_files", []))
+        return live
+
     def gc(self) -> List[str]:
-        """Delete data files not referenced by the current manifest
-        (orphans from crashed, never-committed runs). Returns removed paths."""
-        live = set(self.live_files()) | set(self.quarantine_files)
+        """Delete data files not referenced by ANY retained manifest version
+        (orphans from crashed, never-committed runs). Historical versions'
+        files are kept so time travel stays valid; reclaim them with
+        ``prune``. Returns removed paths."""
+        live = self._live_across_versions() | set(
+            self.live_files()) | set(self.quarantine_files)
         removed = []
         for root, _dirs, files in os.walk(self.lake_dir):
             for fn in files:
@@ -181,3 +219,16 @@ class Manifest:
                     os.remove(full)
                     removed.append(rel)
         return removed
+
+    def prune(self, keep_last: int = 1) -> List[str]:
+        """Retire history: drop all but the last ``keep_last`` manifest
+        versions, then gc — reclaims files only old snapshots referenced
+        (the Delta-Lake VACUUM analog; time travel past the horizon is
+        gone afterwards)."""
+        versions = self._versions_on_disk()
+        cut = versions[:-keep_last] if keep_last > 0 else versions
+        for v in cut:
+            if v == self.version:
+                continue  # never drop the current version
+            os.remove(os.path.join(self.manifest_dir, f"v{v}.json"))
+        return self.gc()
