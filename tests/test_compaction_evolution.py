@@ -61,8 +61,11 @@ def test_compaction_preserves_state_and_swaps_files(tmp_wal, tmp_lake):
     assert_same_state(tmp_lake, oracle_replay(paths, vocab=VOCAB))
     # compaction dropped tombstones: no op column, no delete rows in files
     # and orphan deltas are GC-able
-    removed = m2.gc()
-    assert all("delta-" in f for f in removed) and removed
+    # gc alone keeps superseded deltas (still referenced by historical
+    # manifest versions — time travel); prune retires them (VACUUM analog)
+    assert m2.gc() == []
+    removed = Manifest.load(tmp_lake).prune(keep_last=1)
+    assert removed and all("delta-" in f or "base-g" in f for f in removed)
     assert before.equals(lake_df(tmp_lake, include_seq=True))
 
 
