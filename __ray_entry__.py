@@ -1176,9 +1176,9 @@ FROM events ORDER BY cid, poll_time
 WITH o AS (
   SELECT user_id AS cid, event_id,
          row_number() OVER w - 1 AS snap_index,
-         sum(CAST(round(value * 100) AS BIGINT)) OVER
+         CAST(sum(CAST(round(value * 100) AS BIGINT)) OVER
            (PARTITION BY user_id ORDER BY event_id
-            ROWS UNBOUNDED PRECEDING) AS data_octets_out,
+            ROWS UNBOUNDED PRECEDING) AS BIGINT) AS data_octets_out,
          event_id % 997 AS segs_out
   FROM events
   WINDOW w AS (PARTITION BY user_id ORDER BY event_id)

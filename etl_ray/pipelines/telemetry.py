@@ -285,7 +285,9 @@ def pt_pollution(sf_dir: str) -> pd.DataFrame:
         ds, key_col="user_id", order_col="event_id", dest_col="dest",
         last_hop_col="last_hop", complete_col="complete", window=2,
     ).to_pandas()
-    out["retracted_by"] = out["retracted_by"].astype("Int64")
+    # float64 (NaN for "not retracted") to match DuckDB's nullable-BIGINT
+    # -> .df() representation; the driver's value hash is dtype-sensitive.
+    out["retracted_by"] = out["retracted_by"].astype("float64")
     return out.sort_values(["user_id", "event_id"]).reset_index(drop=True)
 
 

@@ -36,6 +36,14 @@ def compare(name, got: pd.DataFrame, exp: pd.DataFrame) -> str:
     if sorted(got.columns) != sorted(exp.columns):
         return f"SCHEMA MISMATCH got={sorted(got.columns)} exp={sorted(exp.columns)}"
     g, e = canon(got), canon(exp)
+    # The driver's value hash is dtype-KIND-sensitive (observed r02:
+    # int-vs-float and nullable-Int64-vs-float64 hash differently, while
+    # int32-vs-int64 and ns-vs-us datetimes hash the same). Flag kind
+    # differences only.
+    dt_bad = [c for c in g.columns if g[c].dtype.kind != e[c].dtype.kind]
+    if dt_bad:
+        return ("DTYPE MISMATCH " + ", ".join(
+            f"{c}: got={g[c].dtype} exp={e[c].dtype}" for c in dt_bad))
     if len(g) != len(e):
         return f"ROWCOUNT {len(g)} != {len(e)}"
     for c in g.columns:
