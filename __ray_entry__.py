@@ -864,6 +864,15 @@ def _q_scamper_hops(sf_dir: str):
     return scamper_hops(sf_dir)
 
 
+def _q_pt_paris_hops(sf_dir: str):
+    """Legacy .paris text traceroute: first-line proto/IP parse, 4-tuple
+    hop lines → node tree → REVERSED hop rows (reference
+    parser/pt.go:321-933; tree 677-781, reversal 375-422)."""
+    from etl_ray.pipelines.telemetry import pt_paris_hops
+
+    return pt_paris_hops(sf_dir)
+
+
 def _q_multimodal(sf_dir: str):
     import ray.data as rd
 
@@ -927,6 +936,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "snaplog_deltas": _q_snaplog_deltas,
         "pcap_packets": _q_pcap_packets,
         "scamper_hops": _q_scamper_hops,
+        "pt_paris_hops": _q_pt_paris_hops,
         "text_token_counts": _q_text_tokens,
         "text_quality": _q_text_quality,
         "doc_fingerprint": _q_doc_fingerprint,
@@ -1199,6 +1209,38 @@ SELECT user_id, event_id AS ts_sec, user_id % 1000000 AS ts_usec,
        6 AS proto,
        event_id % 64 AS ip_payload_len
 FROM events ORDER BY user_id, ts_sec
+""",
+        "pt_paris_hops": """
+WITH n AS (
+  SELECT user_id, event_id,
+         '192.0.2.' || CAST(event_id % 250 + 1 AS VARCHAR) AS ip,
+         'host-' || CAST(user_id % 10 AS VARCHAR) || '.example' AS hostname,
+         CAST(event_id % 1000 AS DOUBLE) / 1000 AS r,
+         row_number() OVER w - 1 AS rnk,
+         count(*) OVER (PARTITION BY user_id) AS cnt,
+         lag('192.0.2.' || CAST(event_id % 250 + 1 AS VARCHAR)) OVER w
+           AS prev_ip,
+         last_value('192.0.2.' || CAST(event_id % 250 + 1 AS VARCHAR))
+           OVER (PARTITION BY user_id ORDER BY event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING
+                 AND UNBOUNDED FOLLOWING) AS lhop
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY event_id)
+)
+SELECT user_id AS cid,
+       cnt - 1 - rnk AS hop_index,
+       '20170315_mlab1-lga03_' ||
+         CASE WHEN rnk = 0
+              THEN '10.0.' || CAST(user_id % 250 AS VARCHAR) || '.1'
+              ELSE prev_ip END AS hop_id,
+       CASE WHEN rnk = 0
+            THEN '10.0.' || CAST(user_id % 250 AS VARCHAR) || '.1'
+            ELSE prev_ip END AS source_ip,
+       CASE WHEN rnk = 0 THEN '' ELSE hostname END AS source_hostname,
+       ip AS dst_ip, r AS rtt0, 4 AS n_rtts,
+       lhop AS last_hop, false AS reached_dest
+FROM n
+ORDER BY cid, hop_index
 """,
         "scamper_hops": """
 WITH n AS (

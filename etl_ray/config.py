@@ -128,6 +128,13 @@ class ShiftRule:
             mask = mask.combine_chunks() if isinstance(
                 mask, pa.ChunkedArray) else mask
             mask = mask.fill_null(False)
+        if pa.types.is_integer(col.type) and float(int(self.delta)) != float(
+                self.delta):
+            # a fractional delta on an int column would silently truncate
+            # to a no-op correction — that's a config error, not data
+            raise ValueError(
+                f"ShiftRule delta {self.delta!r} is not representable in "
+                f"integer column {self.column!r} ({col.type})")
         shifted = pc.add(col, pa.scalar(self.delta, col.type))
         fixed = pc.if_else(mask, shifted, col)
         i = table.column_names.index(self.column)

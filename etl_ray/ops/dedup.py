@@ -308,7 +308,19 @@ def _bucket_self_pairs(sig, key_cols, id_col: str, max_bucket_ids: int,
                 dtype=bool, count=len(t))
             return t.filter(pa.array(mask))
 
-        sig = sig.map_batches(drop_hot, batch_format="pyarrow")
+        sig = sig.map_batches(drop_hot, batch_format="pyarrow").materialize()
+        if sig.count() == 0:
+            # every bucket was degenerate: the join would lose the key
+            # schema on an all-empty dataset — return typed empty pairs
+            import ray.data as _rd
+
+            id_type = pa.schema(sig.schema().base_schema).field(id_col).type
+            empty = pa.schema(
+                [(c, id_type) for c in ("id_a", "id_b")]
+                + ([(payload_col, pa.binary()),
+                    (f"{payload_col}_b", pa.binary())] if payload_col else [])
+            ).empty_table()
+            return _rd.from_arrow(empty)
 
     keep = key_cols + [id_col] + ([payload_col] if payload_col else [])
     left = sig.map_batches(lambda t: t.select(keep), batch_format="pyarrow")

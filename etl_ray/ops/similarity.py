@@ -36,6 +36,12 @@ def _normalize(m: np.ndarray) -> np.ndarray:
     return m / norms
 
 
+_EMPTY_TOPK = pa.schema([
+    ("query_id", pa.int64()), ("vec_id", pa.int64()),
+    ("score", pa.float64()),
+]).empty_table()
+
+
 class CosineTopK:
     """Actor-pool stage: the normalized query matrix is fetched from the
     object store once per actor in __init__ (broadcast join pattern)."""
@@ -51,22 +57,21 @@ class CosineTopK:
         self.vec_col = vec_col
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        if len(batch) == 0:
+            return _EMPTY_TOPK
         X = _normalize(_matrix(batch[self.vec_col]))
         ids = batch[self.id_col].to_numpy(zero_copy_only=False)
         scores = self.Q @ X.T  # (nq, nb)
         k = min(self.k, scores.shape[1])
         top = np.argpartition(-scores, k - 1, axis=1)[:, :k]
-        rows = {"query_id": [], "vec_id": [], "score": []}
-        for qi in range(scores.shape[0]):
-            for j in top[qi]:
-                rows["query_id"].append(self.query_ids[qi])
-                rows["vec_id"].append(ids[j])
-                rows["score"].append(float(scores[qi, j]))
+        qi_idx = np.repeat(np.arange(scores.shape[0]), k)
+        vj_idx = top.reshape(-1)
         return pa.table(
             {
-                "query_id": pa.array(rows["query_id"], pa.int64()),
-                "vec_id": pa.array(rows["vec_id"], pa.int64()),
-                "score": pa.array(rows["score"], pa.float64()),
+                "query_id": pa.array(
+                    np.asarray(self.query_ids)[qi_idx], pa.int64()),
+                "vec_id": pa.array(np.asarray(ids)[vj_idx], pa.int64()),
+                "score": pa.array(scores[qi_idx, vj_idx].astype(np.float64)),
             }
         )
 
@@ -110,9 +115,12 @@ def ivf_centroids(dim: int, nlist: int, seed: int = 11) -> np.ndarray:
 class IVFTopK:
     """IVF-style ANN stage: vectors are assigned to their nearest coarse
     centroid; a query scores ONLY vectors whose cell is among its ``nprobe``
-    closest cells — the classic inverted-file pruning, here evaluated
-    batch-wise with a mask (no index materialization; at cluster scale the
-    assignment doubles as a partition key so each cell is co-located)."""
+    closest cells — the classic inverted-file PRUNING: the batch is grouped
+    by assigned cell and each probed cell runs one gathered matmul of (the
+    queries probing it) × (the cell's members). Cells no query probes cost
+    zero FLOPs beyond the (nb × nlist) assignment. At cluster scale the
+    assignment doubles as a partition key so each cell is co-located and
+    unprobed cells are never even read."""
 
     def __init__(self, payload_ref, k: int, nprobe: int, id_col: str,
                  vec_col: str):
@@ -122,31 +130,56 @@ class IVFTopK:
         self.query_ids = p["ids"]
         self.Q = _normalize(np.asarray(p["matrix"], dtype=np.float64))
         self.C = np.asarray(p["centroids"], dtype=np.float64)
-        # top-nprobe cells per query (nq, nprobe)
+        # top-nprobe cells per query (nq, nprobe) → inverted: per cell, the
+        # query indices probing it (built once per actor)
         qc = self.Q @ self.C.T
-        self.probe = np.argsort(-qc, axis=1, kind="stable")[:, :nprobe]
+        probe = np.argsort(-qc, axis=1, kind="stable")[:, :nprobe]
+        nlist = self.C.shape[0]
+        self.cell_queries = [
+            np.flatnonzero((probe == c).any(axis=1)) for c in range(nlist)
+        ]
         self.k = k
         self.id_col = id_col
         self.vec_col = vec_col
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        if len(batch) == 0:
+            return _EMPTY_TOPK
         X = _normalize(_matrix(batch[self.vec_col]))
-        ids = batch[self.id_col].to_numpy(zero_copy_only=False)
+        ids = np.asarray(batch[self.id_col].to_numpy(zero_copy_only=False))
         assign = np.argmax(X @ self.C.T, axis=1)  # (nb,)
-        scores = self.Q @ X.T  # (nq, nb)
-        eligible = (assign[None, :, None] == self.probe[:, None, :]).any(-1)
-        scores = np.where(eligible, scores, -np.inf)
-        k = min(self.k, scores.shape[1])
-        top = np.argpartition(-scores, k - 1, axis=1)[:, :k]
-        qi_idx = np.repeat(np.arange(scores.shape[0]), k)
-        vj_idx = top.reshape(-1)
-        sc = scores[qi_idx, vj_idx]
-        keep = np.isfinite(sc)
+        order = np.argsort(assign, kind="stable")
+        sorted_assign = assign[order]
+        cells, starts = np.unique(sorted_assign, return_index=True)
+        ends = np.append(starts[1:], len(order))
+        q_parts, v_parts, s_parts = [], [], []
+        for c, s, e in zip(cells, starts, ends):
+            probers = self.cell_queries[int(c)]
+            if len(probers) == 0:
+                continue  # unprobed cell: zero scoring FLOPs
+            members = order[s:e]
+            sub = self.Q[probers] @ X[members].T  # (np_c, nb_c)
+            q_parts.append(np.repeat(probers, len(members)))
+            v_parts.append(np.tile(members, len(probers)))
+            s_parts.append(sub.reshape(-1))
+        if not q_parts:
+            return _EMPTY_TOPK
+        qi = np.concatenate(q_parts)
+        vj = np.concatenate(v_parts)
+        sc = np.concatenate(s_parts)
+        # per-query partial top-k within the batch (bounds rows shipped to
+        # the driver reduce at k per query per batch)
+        sel = np.lexsort((ids[vj], -sc, qi))
+        qi, vj, sc = qi[sel], vj[sel], sc[sel]
+        first = np.concatenate([[0], np.flatnonzero(np.diff(qi)) + 1])
+        rank = np.arange(len(qi)) - np.repeat(first, np.diff(
+            np.append(first, len(qi))))
+        keep = rank < self.k
         return pa.table({
             "query_id": pa.array(
-                np.asarray(self.query_ids)[qi_idx[keep]], pa.int64()),
-            "vec_id": pa.array(np.asarray(ids)[vj_idx[keep]], pa.int64()),
-            "score": pa.array(sc[keep], pa.float64()),
+                np.asarray(self.query_ids)[qi[keep]], pa.int64()),
+            "vec_id": pa.array(ids[vj[keep]], pa.int64()),
+            "score": pa.array(sc[keep].astype(np.float64)),
         })
 
 
@@ -247,31 +280,66 @@ class HyperplaneLSH:
 
 def lsh_bucketed_pairs(ds, *, threshold: float = 0.95, n_planes: int = 10,
                        dim: int = 64, id_col: str = "vec_id",
-                       vec_col: str = "embedding", concurrency: int = 4):
+                       vec_col: str = "embedding", concurrency: int = 4,
+                       max_bucket_ids: Optional[int] = None):
     """Approximate near-dup pairs: bucket by hyperplane signature, exact
-    cosine within buckets only (shuffle moves vectors once; no broadcast)."""
+    cosine within buckets only (shuffle moves each vector once; no
+    broadcast). Pair generation is the capped hash SELF-JOIN from
+    ops.dedup — no per-bucket Python lambda (the many-tiny-groups
+    map_groups shape BASELINE.md measured pathological), and degenerate
+    buckets past ``max_bucket_ids`` are dropped with a printed count
+    instead of going O(b²). Normalized vectors ride through the join as
+    packed float64 blobs (Acero joins reject list columns); cosine is then
+    one vectorized row-wise dot per pair batch."""
+    from etl_ray.ops.dedup import DEFAULT_MAX_BUCKET_IDS, _bucket_self_pairs
 
-    def bucket_pairs(df: pd.DataFrame) -> pd.DataFrame:
-        dtype = df[id_col].dtype
-        if len(df) < 2:
-            return pd.DataFrame({"id_a": pd.Series([], dtype=dtype),
-                                 "id_b": pd.Series([], dtype=dtype),
-                                 "cosine": pd.Series([], dtype="float64")})
-        df = df.sort_values(id_col)
-        M = _normalize(np.stack(df[vec_col].to_numpy()).astype(np.float64))
-        ids = df[id_col].to_numpy()
-        s = M @ M.T
-        i, j = np.nonzero(np.triu(s >= threshold, k=1))
-        return pd.DataFrame(
-            {"id_a": ids[i], "id_b": ids[j], "cosine": s[i, j].astype(np.float64)}
-        )
+    if max_bucket_ids is None:
+        max_bucket_ids = DEFAULT_MAX_BUCKET_IDS
 
-    sigs = ds.map_batches(
-        HyperplaneLSH,
-        fn_constructor_kwargs=dict(n_planes=n_planes, dim=dim, vec_col=vec_col),
-        batch_format="pyarrow",
-        concurrency=concurrency,
-        num_cpus=1,
-    )
-    return sigs.groupby("lsh_bucket").map_groups(
-        bucket_pairs, batch_format="pandas")
+    lsh = HyperplaneLSH(n_planes=n_planes, dim=dim, vec_col=vec_col)
+
+    def sig_pack(batch: pa.Table) -> pa.Table:
+        batch = lsh(batch)
+        M = _normalize(_matrix(batch[vec_col]))
+        blob = M.astype("<f8").tobytes()
+        w = M.shape[1] * 8
+        offs = np.arange(0, (len(batch) + 1) * w, w, dtype=np.int32)
+        emb = pa.BinaryArray.from_buffers(
+            pa.binary(), len(batch),
+            [None, pa.py_buffer(offs.tobytes()), pa.py_buffer(blob)])
+        return pa.table({
+            "lsh_bucket": batch["lsh_bucket"],
+            id_col: batch[id_col],
+            "emb": emb,
+        })
+
+    sigs = ds.map_batches(sig_pack, batch_format="pyarrow")
+    pairs = _bucket_self_pairs(sigs, ["lsh_bucket"], id_col,
+                               max_bucket_ids, payload_col="emb")
+
+    def cosine_filter(t: pa.Table) -> pa.Table:
+        if len(t) == 0:
+            return pa.schema([
+                ("id_a", pa.int64()), ("id_b", pa.int64()),
+                ("cosine", pa.float64()),
+            ]).empty_table()
+        A = np.frombuffer(
+            b"".join(t["emb"].to_pylist()), dtype="<f8").reshape(len(t), -1)
+        B = np.frombuffer(
+            b"".join(t["emb_b"].to_pylist()), dtype="<f8").reshape(len(t), -1)
+        cos = np.einsum("ij,ij->i", A, B)
+        keep = cos >= threshold
+        return pa.table({
+            "id_a": pc_take(t["id_a"], keep),
+            "id_b": pc_take(t["id_b"], keep),
+            "cosine": pa.array(cos[keep].astype(np.float64)),
+        })
+
+    def pc_take(col, mask):
+        arr = col.combine_chunks() if isinstance(
+            col, pa.ChunkedArray) else col
+        return arr.filter(pa.array(mask))
+
+    # each vector lives in exactly ONE bucket (single signature), so the
+    # join emits every pair at most once — no cross-band dedup needed
+    return pairs.map_batches(cosine_filter, batch_format="pyarrow")

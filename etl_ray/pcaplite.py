@@ -205,5 +205,14 @@ class PcapPacketDecoder:
             })
             outs.append(t)
         if not outs:
-            return pa.table({"member": pa.array([], pa.string())})
+            # full output schema at zero rows: an all-corrupt/all-skipped
+            # batch must stay non-fatal for downstream column projections
+            # (ADVICE r02)
+            return pa.schema([
+                ("member", pa.string()), ("packet_index", pa.int64()),
+                ("ts_sec", pa.int64()), ("ts_usec", pa.int64()),
+                ("src_ip", pa.string()), ("dst_ip", pa.string()),
+                ("ttl", pa.int64()), ("proto", pa.int64()),
+                ("ip_payload_len", pa.int64()),
+            ]).empty_table()
         return pa.concat_tables(outs)

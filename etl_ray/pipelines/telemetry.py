@@ -343,3 +343,75 @@ def cdc_replay_retraction(sf_dir: str) -> pd.DataFrame:
     cfg = EngineConfig(num_partitions=8, payload=A.events_payload())
     replay(wal, lake, cfg)
     return A.lake_final_state(lake)
+
+
+# ------------------------------------------------------ PT .paris traceroute
+def generate_paris_archive(sf_dir: str) -> str:
+    """One legacy ``.paris`` text traceroute per user_id: a single-flow hop
+    chain with one hop line per event (event_id order), deterministic
+    event-derived IPs/rtts the oracle SQL recomputes; sprinkled with MPLS
+    lines and ``!``-error codes the parser must skip. Multi-flow forking is
+    exercised by the handcrafted pytest fixtures (its hop set is not
+    SQL-window-expressible)."""
+    df = _events_frame(sf_dir)
+    members = []
+    for user, g in df.groupby("user_id", sort=True):
+        u = int(user)
+        server = f"10.0.{u % 250}.1"
+        lines = [
+            "#comment line",
+            f"traceroute [({server}:33461) -> (203.0.113.9:53849)], "
+            "protocol icmp, algo exhaustive, duration 19 s",
+        ]
+        for i, r in enumerate(g.itertuples(index=False)):
+            eid = int(r.event_id)
+            ip = f"192.0.2.{eid % 250 + 1}"
+            rtt = f"{(eid % 1000) / 1000:.3f}"
+            line = (f"{i + 1}  P(6, 6)  host-{u % 10}.example  ({ip})  "
+                    f"{rtt}/{rtt}/{rtt}/{rtt} ms")
+            if eid % 7 == 0:
+                line += " !T2"
+            lines.append(line)
+            if i % 5 == 4:
+                lines.append("MPLS Label 337379 TTL 1")
+        members.append((
+            f"20170315T00:00:00Z-{server}-33461-203.0.113.9-42677"
+            f"-u{u}.paris",
+            "\n".join(lines).encode()))
+    return _tar_of(members)
+
+
+def pt_paris_hops(sf_dir: str) -> pd.DataFrame:
+    """Engine path: archive → .paris text parse → node tree → REVERSED hop
+    rows (reference parser/pt.go:321-933; reversal ProcessAllNodes
+    pt.go:375-422). Hop assembly runs inside map_batches — nothing is
+    expanded on the driver."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from etl_ray.ptparis import ParisDecoder
+    from etl_ray.sources.archive import read_archives
+
+    tar = generate_paris_archive(sf_dir)
+    ds = read_archives([tar]).map_batches(
+        ParisDecoder(machine="mlab1-lga03"), batch_format="pyarrow")
+
+    def project(batch: pa.Table) -> pa.Table:
+        hit = pc.extract_regex(batch["member"].combine_chunks(),
+                               r"u(?P<cid>\d+)\.paris")
+        cid = pc.cast(pc.struct_field(hit, "cid"), pa.int64())
+        return pa.table({
+            "cid": cid,
+            "hop_index": batch["hop_index"],
+            "hop_id": batch["hop_id"],
+            "source_ip": batch["source_ip"],
+            "source_hostname": batch["source_hostname"],
+            "dst_ip": batch["dst_ip"],
+            "rtt0": batch["rtt0"],
+            "n_rtts": batch["n_rtts"],
+            "last_hop": batch["last_hop"],
+            "reached_dest": batch["reached_dest"],
+        })
+
+    out = ds.map_batches(project, batch_format="pyarrow").to_pandas()
+    return out.sort_values(["cid", "hop_index"]).reset_index(drop=True)

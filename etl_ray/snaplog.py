@@ -212,5 +212,18 @@ class SnaplogDecoder:
             fields = [f for f in self.delta_fields if f in t.column_names]
             outs.append(delta_columns(t, fields))
         if not outs:
-            return pa.table({"member": pa.array([], pa.string())})
+            # full output schema at zero rows so an all-corrupt batch stays
+            # non-fatal for downstream projections (ADVICE r02). The live
+            # field set is header-driven; with no decodable header we emit
+            # the control columns plus the requested delta fields — the
+            # columns any downstream of THIS decoder instance selects.
+            names = ["member", "log_time", "snap_index", "SnapTimeStamp"]
+            for f in self.delta_fields:
+                if f not in names:
+                    names.append(f)
+                names.append(f"d_{f}")
+            return pa.schema([
+                (n_, pa.string() if n_ == "member" else pa.int64())
+                for n_ in names
+            ]).empty_table()
         return pa.concat_tables(outs, promote_options="default")

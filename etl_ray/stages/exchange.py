@@ -41,6 +41,7 @@ from typing import List
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 import pyarrow.parquet as pq
 
 from etl_ray.config import QUARANTINE_SHARD, EngineConfig
@@ -169,13 +170,18 @@ class ApplyBucket:
         self.n_buckets = n_buckets
         self._mmaps: List = []
 
-    def _bucket_table(self, row: dict) -> pa.Table:
+    def _bucket_table(self, row: dict):
         from etl_ray.stages.merge import lww_last_per_keys
 
         # the quarantine bucket keeps EVERY poison event (never collapsed)
         collapsible = int(row["bucket"]) != self.n_buckets
         acc: List[pa.Table] = []
         acc_rows = 0
+        # TRUE pre-collapse event count per shard: the LWW pre-collapse
+        # below drops duplicate (shard, doc) rows before ApplyShards ever
+        # counts them, so lineage/failure-ratio/salt stats must be taken
+        # from these counts, not from len(group) downstream.
+        true_counts: dict = {}
         for f, rg in zip(row["files"], row["rgs"]):
             path = os.path.join(self.exchange_dir, f)
             if f.endswith(".arrow"):
@@ -188,6 +194,9 @@ class ApplyBucket:
                     [pa.ipc.open_file(mm).get_batch(rg)])
             else:
                 t = pq.ParquetFile(path).read_row_group(rg)
+            for vc in pc.value_counts(t["__shard"]).to_pylist():
+                true_counts[vc["values"]] = (
+                    true_counts.get(vc["values"], 0) + vc["counts"])
             acc.append(t)
             acc_rows += len(t)
             if collapsible and acc_rows > self.chunk_rows and len(acc) > 1:
@@ -195,14 +204,25 @@ class ApplyBucket:
                 merged = lww_last_per_keys(merged, ["__shard", "doc_id"])
                 acc = [merged]
                 acc_rows = len(merged)
-        return pa.concat_tables(acc, promote_options="default")
+        return pa.concat_tables(acc, promote_options="default"), true_counts
 
     def __call__(self, desc: pa.Table) -> pa.Table:
         from etl_ray.stages.apply import STATS_SCHEMA
 
         outs = []
         for row in desc.to_pylist():
-            outs.append(self.inner(self._bucket_table(row)))
+            table, true_counts = self._bucket_table(row)
+            stats = self.inner(table)
+            # restore pre-collapse rows_in per shard (ADVICE r02: the
+            # failure-ratio denominator and hot-partition detection must
+            # see real event counts, not collapsed ones)
+            if len(stats):
+                fixed = [true_counts.get(s, r) for s, r in zip(
+                    stats["shard"].to_pylist(), stats["rows_in"].to_pylist())]
+                stats = stats.set_column(
+                    stats.schema.get_field_index("rows_in"), "rows_in",
+                    pa.array(fixed, type=pa.int64()))
+            outs.append(stats)
         if not outs:
             return STATS_SCHEMA.empty_table()
         return pa.concat_tables(outs)

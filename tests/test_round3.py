@@ -1,0 +1,155 @@
+"""Round-3 hardening: pre-collapse lineage counts, ShiftRule lossy-cast
+guard, empty-batch/all-corrupt decoder schemas, IVF pruning, capped LSH
+embedding pairs."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+from etl_ray.config import EngineConfig, ShiftRule, TokensPayload
+from etl_ray.pipelines.replay import replay
+from etl_ray.sources.generator import generate_changelog
+from etl_ray.state.manifest import Manifest
+
+VOCAB = 1000
+
+
+def cfg(**kw):
+    kw.setdefault("num_partitions", 8)
+    kw.setdefault("max_salt", 4)
+    kw.setdefault("batch_size", 256)
+    kw.setdefault("apply_concurrency", 2)
+    kw.setdefault("payload", TokensPayload(vocab_size=VOCAB))
+    return EngineConfig(**kw)
+
+
+# --------------------------------------------- pre-collapse lineage counts
+@pytest.mark.usefixtures("ray_session")
+def test_events_in_counts_precollapse_rows(tmp_wal, tmp_lake):
+    """A dup-heavy backlog forced through the tiny apply_chunk_rows
+    pre-collapse must still report the TRUE event count in lineage
+    (ADVICE r02: failure-ratio denominators and salt detection read it)."""
+    generate_changelog(tmp_wal, n_events=3000, n_segments=3, vocab=VOCAB,
+                       seed=5, update_frac=0.8, insert_frac=0.1)
+    c = cfg(apply_chunk_rows=64)  # force collapse on every bucket
+    stats = replay(tmp_wal, tmp_lake, c)
+    assert sum(s.events_in for s in stats) == 3000
+    m = Manifest.load(tmp_lake)
+    assert m.lineage["events_in"] == 3000
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_precollapse_does_not_trip_failure_gate(tmp_wal, tmp_lake):
+    """With the pre-collapse denominator bug, a dup-heavy clean backlog
+    could abort spuriously; the true denominator never can."""
+    generate_changelog(tmp_wal, n_events=3000, n_segments=1, vocab=VOCAB,
+                       seed=5, update_frac=0.8, insert_frac=0.1)
+    c = cfg(apply_chunk_rows=64, max_failure_ratio=0.05)
+    replay(tmp_wal, tmp_lake, c)  # must not raise CommitAborted
+
+
+# ------------------------------------------------------- ShiftRule guard
+def test_shiftrule_fractional_delta_on_int_raises():
+    t = pa.table({"ts": pa.array([10, 20], pa.int64()),
+                  "k": pa.array(["a", "b"])})
+    with pytest.raises(ValueError, match="not representable"):
+        ShiftRule("ts", 0.5).apply(t)
+    # integral float delta is fine
+    out = ShiftRule("ts", 2.0).apply(t)
+    assert out["ts"].to_pylist() == [12, 22]
+    # fractional delta on a float column is fine
+    tf = pa.table({"ts": pa.array([1.0, 2.0])})
+    assert ShiftRule("ts", 0.5).apply(tf)["ts"].to_pylist() == [1.5, 2.5]
+
+
+# ------------------------------------- all-corrupt batches keep full schema
+def test_pcap_all_corrupt_batch_keeps_schema():
+    from etl_ray.pcaplite import PcapPacketDecoder
+
+    batch = pa.table({
+        "member": pa.array(["bad.pcap"]),
+        "data": pa.array([b"not a pcap"], pa.binary()),
+        "skipped": pa.array([False]),
+    })
+    out = PcapPacketDecoder()(batch)
+    assert len(out) == 0
+    for col in ["member", "packet_index", "ts_sec", "ts_usec", "src_ip",
+                "dst_ip", "ttl", "proto", "ip_payload_len"]:
+        assert col in out.column_names
+    # downstream projection of per-packet columns must not KeyError
+    out.select(["ts_sec", "proto"])
+
+
+def test_snaplog_all_corrupt_batch_keeps_schema():
+    from etl_ray.snaplog import SnaplogDecoder
+
+    batch = pa.table({
+        "member": pa.array(["bad.snaplog"]),
+        "data": pa.array([b"garbage"], pa.binary()),
+        "skipped": pa.array([True]),
+    })
+    dec = SnaplogDecoder(delta_fields=["DataOctetsOut", "SegsOut"])
+    out = dec(batch)
+    assert len(out) == 0
+    for col in ["member", "log_time", "snap_index", "SnapTimeStamp",
+                "DataOctetsOut", "d_DataOctetsOut", "SegsOut", "d_SegsOut"]:
+        assert col in out.column_names
+
+
+# ---------------------------------------------------------- IVF + topk ops
+@pytest.mark.usefixtures("ray_session")
+def test_ivf_empty_block_and_matches_bruteforce():
+    """Empty upstream blocks must not crash (ADVICE r02), and with
+    nprobe=nlist the pruned IVF equals exact brute force."""
+    import ray.data as rd
+
+    from etl_ray.ops.similarity import cosine_topk, ivf_topk
+
+    rng = np.random.default_rng(3)
+    n, d = 300, 16
+    M = rng.standard_normal((n, d))
+    tbl = pa.table({
+        "vec_id": pa.array(np.arange(n, dtype=np.int64)),
+        "embedding": pa.FixedSizeListArray.from_arrays(
+            pa.array(M.reshape(-1), pa.float32()), d).cast(
+                pa.list_(pa.float32())),
+    })
+    ds = rd.from_arrow(tbl)
+    # filter that leaves some blocks empty
+    ds_f = ds.repartition(8).filter(expr="vec_id >= 290")
+    q_ids = np.array([0, 1], dtype=np.int64)
+    Q = M[:2]
+    out = ivf_topk(ds_f, q_ids, Q, k=3, nlist=4, nprobe=2, concurrency=2)
+    assert len(out) > 0  # no crash on empty blocks
+    exact = cosine_topk(ds, q_ids, Q, k=5, concurrency=2)
+    full = ivf_topk(ds, q_ids, Q, k=5, nlist=4, nprobe=4, concurrency=2)
+    pd.testing.assert_frame_equal(
+        full.reset_index(drop=True), exact.reset_index(drop=True))
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_lsh_pairs_cap_drops_degenerate_bucket(capsys):
+    """All-identical corpus = one degenerate LSH bucket: with a cap it is
+    dropped with a printed count instead of going O(b^2)."""
+    import ray.data as rd
+
+    from etl_ray.ops.similarity import lsh_bucketed_pairs
+
+    n, d = 60, 16
+    base = np.ones((n, d)) + np.random.default_rng(1).standard_normal(
+        (n, d)) * 1e-6
+    tbl = pa.table({
+        "vec_id": pa.array(np.arange(n, dtype=np.int64)),
+        "embedding": pa.FixedSizeListArray.from_arrays(
+            pa.array(base.reshape(-1), pa.float32()), d).cast(
+                pa.list_(pa.float32())),
+    })
+    ds = rd.from_arrow(tbl)
+    out = lsh_bucketed_pairs(ds, threshold=0.9, n_planes=4, dim=d,
+                             max_bucket_ids=10).to_pandas()
+    assert len(out) == 0  # the only bucket was over the cap → dropped
+    # and without the cap the same corpus yields all pairs
+    out2 = lsh_bucketed_pairs(ds, threshold=0.9, n_planes=4, dim=d,
+                              max_bucket_ids=10_000).to_pandas()
+    assert len(out2) == n * (n - 1) // 2
