@@ -873,6 +873,15 @@ def _q_pt_paris_hops(sf_dir: str):
     return pt_paris_hops(sf_dir)
 
 
+def _q_ndt_group_deltas(sf_dir: str):
+    """NDT member grouping: {c2s,s2c,meta} by timestamp prefix with
+    gz-preference collisions + meta enrichment on real-format web100
+    snaplog delta rows (reference parser/ndt.go:210-309,570-588)."""
+    from etl_ray.pipelines.telemetry import ndt_group_deltas
+
+    return ndt_group_deltas(sf_dir)
+
+
 def _q_multimodal(sf_dir: str):
     import ray.data as rd
 
@@ -937,6 +946,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pcap_packets": _q_pcap_packets,
         "scamper_hops": _q_scamper_hops,
         "pt_paris_hops": _q_pt_paris_hops,
+        "ndt_group_deltas": _q_ndt_group_deltas,
         "text_token_counts": _q_text_tokens,
         "text_quality": _q_text_quality,
         "doc_fingerprint": _q_doc_fingerprint,
@@ -1200,6 +1210,38 @@ SELECT cid, snap_index, event_id AS snap_time_stamp, data_octets_out,
 FROM o
 WINDOW w AS (PARTITION BY cid ORDER BY snap_index)
 ORDER BY cid, snap_index
+""",
+        "ndt_group_deltas": """
+WITH o AS (
+  SELECT user_id AS cid, event_id,
+         row_number() OVER w - 1 AS snap_index,
+         CAST(sum(CAST(round(value * 100) AS BIGINT)) OVER
+           (PARTITION BY user_id ORDER BY event_id
+            ROWS UNBOUNDED PRECEDING) AS BIGINT) AS c2s_total,
+         event_id % 997 AS segs_out
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY event_id)
+), d AS (
+  SELECT cid, 0 AS direction, snap_index, c2s_total AS data_octets_out,
+         segs_out FROM o
+  UNION ALL
+  SELECT cid, 1, snap_index, c2s_total * 3, segs_out FROM o
+)
+SELECT cid, direction, snap_index, data_octets_out,
+       data_octets_out - lag(data_octets_out) OVER
+         (PARTITION BY cid, direction ORDER BY snap_index)
+         AS d_data_octets_out,
+       segs_out,
+       CASE WHEN cid % 10 = 0 THEN NULL
+            ELSE '198.51.100.' || CAST(cid % 200 AS VARCHAR) END
+         AS client_ip,
+       CASE WHEN cid % 10 = 0 THEN NULL
+            ELSE '10.0.' || CAST(cid % 250 AS VARCHAR) || '.1' END
+         AS server_ip,
+       CASE WHEN cid % 10 = 0 THEN NULL
+            ELSE 'os-' || CAST(cid % 3 AS VARCHAR) END AS client_os,
+       cid % 10 = 0 AS no_meta
+FROM d ORDER BY cid, direction, snap_index
 """,
         "pcap_packets": """
 SELECT user_id, event_id AS ts_sec, user_id % 1000000 AS ts_usec,

@@ -65,28 +65,55 @@ def generate_ss_archive(sf_dir: str) -> str:
     return _tar_of(members)
 
 
+def _payload_expander(datatype: str, spec):
+    """map_batches stage factory: standard-column parsed rows → typed
+    payload columns, expanded INSIDE the task (never json_normalize on the
+    driver — r02 verdict item). ``spec`` maps output column → (payload
+    key, pyarrow type)."""
+    import json
+
+    import pyarrow as pa
+
+    schema = pa.schema([(name, typ) for name, (_, typ) in spec.items()])
+
+    def expand(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        ok = batch.filter(pc.and_(
+            pc.is_null(batch["error"]),
+            pc.equal(batch["datatype"], datatype)))
+        if len(ok) == 0:
+            return schema.empty_table()
+        rows = [json.loads(p) for p in ok["payload"].to_pylist()]
+        return pa.table(
+            {name: pa.array([r.get(key) for r in rows], typ)
+             for name, (key, typ) in spec.items()}, schema=schema)
+
+    return expand
+
+
 def ss_parse(sf_dir: str) -> pd.DataFrame:
     """Engine path: archive → member iter → SidestreamParser (1→N typed
-    rows, canonical renames, StartTimeStamp+Usec combine)."""
-    import json
+    rows, canonical renames, StartTimeStamp+Usec combine). Payload
+    expansion runs distributed in a map_batches stage."""
+    import pyarrow as pa
 
     from etl_ray.parsers import parse_archives
 
     tar = generate_ss_archive(sf_dir)
-    parsed = parse_archives([tar]).to_pandas()
-    ok = parsed[parsed["error"].isna() & (parsed["datatype"] == "ss")]
-    rows = pd.json_normalize(ok["payload"].map(json.loads))
-    out = pd.DataFrame({
-        "cid": rows["cid"].astype("int64"),
-        "poll_time": rows["PollTime"].astype("int64"),
-        "local_address": rows["LocalAddress"],
-        "rem_address": rows["RemAddress"],
-        "rem_port": rows["RemPort"].astype("int64"),
-        "start_time_stamp": rows["StartTimeStamp"].astype("int64"),
-        "data_octets_out": rows["DataOctetsOut"].astype("int64"),
-        "segs_out": rows["SegsOut"].astype("int64"),
-        "log_time": rows["log_time"].astype("int64"),
+    expand = _payload_expander("ss", {
+        "cid": ("cid", pa.int64()),
+        "poll_time": ("PollTime", pa.int64()),
+        "local_address": ("LocalAddress", pa.string()),
+        "rem_address": ("RemAddress", pa.string()),
+        "rem_port": ("RemPort", pa.int64()),
+        "start_time_stamp": ("StartTimeStamp", pa.int64()),
+        "data_octets_out": ("DataOctetsOut", pa.int64()),
+        "segs_out": ("SegsOut", pa.int64()),
+        "log_time": ("log_time", pa.int64()),
     })
+    out = parse_archives([tar]).map_batches(
+        expand, batch_format="pyarrow").to_pandas()
     return out.sort_values(["cid", "poll_time"]).reset_index(drop=True)
 
 
@@ -233,23 +260,23 @@ def generate_scamper_archive(sf_dir: str) -> str:
 
 def scamper_hops(sf_dir: str) -> pd.DataFrame:
     """Engine path: archive → Scamper1 restructure (nodes → hop rows with
-    manufactured HopID, reference parser/scamper1.go:44-91)."""
-    import json
+    manufactured HopID, reference parser/scamper1.go:44-91). Payload
+    expansion runs distributed in a map_batches stage."""
+    import pyarrow as pa
 
     from etl_ray.parsers import parse_archives
 
     tar = generate_scamper_archive(sf_dir)
-    parsed = parse_archives([tar]).to_pandas()
-    ok = parsed[parsed["error"].isna() & (parsed["datatype"] == "scamper1")]
-    rows = pd.json_normalize(ok["payload"].map(json.loads))
-    out = pd.DataFrame({
-        "hop_id": rows["hop_id"],
-        "addr": rows["addr"],
-        "q_ttl": rows["q_ttl"].astype("int64"),
-        "dst": rows["dst"],
-        "nodec": rows["nodec"].astype("int64"),
-        "hostname": rows["hostname"],
+    expand = _payload_expander("scamper1", {
+        "hop_id": ("hop_id", pa.string()),
+        "addr": ("addr", pa.string()),
+        "q_ttl": ("q_ttl", pa.int64()),
+        "dst": ("dst", pa.string()),
+        "nodec": ("nodec", pa.int64()),
+        "hostname": ("hostname", pa.string()),
     })
+    out = parse_archives([tar]).map_batches(
+        expand, batch_format="pyarrow").to_pandas()
     return out.sort_values(["hop_id"]).reset_index(drop=True)
 
 
@@ -415,3 +442,105 @@ def pt_paris_hops(sf_dir: str) -> pd.DataFrame:
 
     out = ds.map_batches(project, batch_format="pyarrow").to_pandas()
     return out.sort_values(["cid", "hop_index"]).reset_index(drop=True)
+
+
+# ------------------------------------------------- NDT test-group assembly
+def generate_ndt_archive(sf_dir: str) -> str:
+    """One NDT test group per user_id: {c2s_snaplog, s2c_snaplog, meta}
+    members sharing a timestamp prefix, in REAL web100 binary format.
+    Exercises the reference's collision rules (ndt.go:253-296): every 5th
+    user also carries a TRUNCATED unzipped twin of the c2s snaplog (the
+    ``.gz`` one must win for the row counts to match the oracle); every
+    10th user has no meta member (``no_meta`` anomaly)."""
+    import gzip
+
+    from etl_ray.web100 import T_COUNTER32, T_COUNTER64, write_web100_snaplog
+
+    df = _events_frame(sf_dir)
+    members = []
+    for user, g in df.groupby("user_id", sort=True):
+        u = int(user)
+        ts = f"20170315T00:00:00.{u:06d}Z"
+        fields = [("SnapTimeStamp", T_COUNTER32),
+                  ("DataBytesOut", T_COUNTER64),
+                  ("PktsOut", T_COUNTER32)]
+
+        def blob(mult: int, n: int = None) -> bytes:
+            gg = g if n is None else g.iloc[:n]
+            return write_web100_snaplog(fields, {
+                "SnapTimeStamp": gg["event_id"].to_numpy(np.int64),
+                "DataBytesOut": np.cumsum(
+                    gg["cents"].to_numpy(np.int64) * mult),
+                "PktsOut": gg["event_id"].to_numpy(np.int64) % 997,
+            }, logtime=1489539600)
+
+        c2s_name = f"{ts}_u{u}.c2s_snaplog"
+        if u % 10 == 0:
+            # zipped first, unzipped twin after: the twin is ignored
+            members.append((c2s_name + ".gz", gzip.compress(blob(1))))
+            members.append((c2s_name, blob(1, n=1)))
+        elif u % 10 == 5:
+            # unzipped first, zipped twin after: the zipped one replaces it
+            members.append((c2s_name, blob(1, n=1)))
+            members.append((c2s_name + ".gz", gzip.compress(blob(1))))
+        else:
+            members.append((c2s_name, blob(1)))
+        members.append((f"{ts}_u{u}.s2c_snaplog", blob(3)))
+        if u % 10 != 0:
+            meta = (f"client_ip: 198.51.100.{u % 200}\n"
+                    f"server_ip: 10.0.{u % 250}.1\n"
+                    f"client_os: os-{u % 3}\n")
+            members.append((f"{ts}_u{u}.meta", meta.encode()))
+    return _tar_of(members)
+
+
+def ndt_group_deltas(sf_dir: str) -> pd.DataFrame:
+    """Engine path: per-archive NDT grouping (gz-preference collisions,
+    meta enrichment, reference parser/ndt.go:210-309,570-588) → real-format
+    web100 decode → per-direction delta stream. Meta fields land on every
+    delta row; groups without a meta carry the no_meta anomaly."""
+    import pyarrow as pa
+
+    from etl_ray.ops.ndtgroup import group_ndt_archives
+    from etl_ray.snaplog import decode_snaplog, delta_columns
+
+    tar = generate_ndt_archive(sf_dir)
+
+    def decode(batch: pa.Table) -> pa.Table:
+        outs = []
+        for row in batch.to_pylist():
+            try:
+                t, _ = decode_snaplog(row["data"])
+            except (ValueError, UnicodeDecodeError):
+                continue
+            t = delta_columns(t, ["DataOctetsOut"])
+            n = len(t)
+            cid = int(row["address"].lstrip("u"))
+            outs.append(pa.table({
+                "cid": pa.array(np.full(n, cid, np.int64)),
+                "direction": pa.array(
+                    np.full(n, row["direction"], np.int64)),
+                "snap_index": t["snap_index"],
+                "data_octets_out": t["DataOctetsOut"],
+                "d_data_octets_out": t["d_DataOctetsOut"],
+                "segs_out": t["SegsOut"],
+                "client_ip": pa.array([row["client_ip"]] * n, pa.string()),
+                "server_ip": pa.array([row["server_ip"]] * n, pa.string()),
+                "client_os": pa.array([row["client_os"]] * n, pa.string()),
+                "no_meta": pa.array([row["no_meta"]] * n, pa.bool_()),
+            }))
+        if not outs:
+            return pa.schema([
+                ("cid", pa.int64()), ("direction", pa.int64()),
+                ("snap_index", pa.int64()), ("data_octets_out", pa.int64()),
+                ("d_data_octets_out", pa.int64()),
+                ("segs_out", pa.int64()), ("client_ip", pa.string()),
+                ("server_ip", pa.string()), ("client_os", pa.string()),
+                ("no_meta", pa.bool_()),
+            ]).empty_table()
+        return pa.concat_tables(outs)
+
+    out = group_ndt_archives([tar]).map_batches(
+        decode, batch_format="pyarrow").to_pandas()
+    return out.sort_values(["cid", "direction", "snap_index"]).reset_index(
+        drop=True)

@@ -15,11 +15,87 @@ node with the trace-level fields repeated — the columnar-friendly layout).
 from __future__ import annotations
 
 import json
+import re
 from typing import List, Tuple
 
 from etl_ray.functions.keys import hop_id
 
 MAX_ROW_BYTES = 90_000_000  # BQ 100 MB minus JSON headroom (scamper1.go:22)
+
+
+def _repair_json(text: str) -> str:
+    """JSON-superset → JSON: strip // and /* */ comments, convert
+    single-quoted strings, drop trailing commas — all via one
+    string-aware scan — then quote bare object keys. The grammar is the
+    useful subset of what jsonnet tolerates (the reference re-evaluates
+    malformed early-scamper output through a jsonnet VM,
+    parser/pt.go:236-248)."""
+    out = []
+    i, n = 0, len(text)
+    while i < n:
+        c = text[i]
+        if c == '"':  # pass a double-quoted string through verbatim
+            out.append(c)
+            i += 1
+            while i < n:
+                out.append(text[i])
+                if text[i] == "\\" and i + 1 < n:
+                    out.append(text[i + 1])
+                    i += 2
+                    continue
+                if text[i] == '"':
+                    i += 1
+                    break
+                i += 1
+            continue
+        if c == "'":  # single-quoted string → double-quoted
+            i += 1
+            buf = []
+            while i < n and text[i] != "'":
+                if text[i] == "\\" and i + 1 < n:
+                    buf.append(text[i + 1] if text[i + 1] == "'"
+                               else text[i] + text[i + 1])
+                    i += 2
+                    continue
+                buf.append(text[i])
+                i += 1
+            i += 1
+            out.append(json.dumps("".join(buf)))
+            continue
+        if c == "/" and i + 1 < n and text[i + 1] == "/":
+            while i < n and text[i] != "\n":
+                i += 1
+            continue
+        if c == "/" and i + 1 < n and text[i + 1] == "*":
+            i += 2
+            while i + 1 < n and not (text[i] == "*" and text[i + 1] == "/"):
+                i += 1
+            i += 2
+            continue
+        if c == ",":
+            j = i + 1
+            while j < n and text[j] in " \t\r\n":
+                j += 1
+            if j < n and text[j] in "}]":
+                i += 1  # trailing comma
+                continue
+        out.append(c)
+        i += 1
+    s = "".join(out)
+    # bare object keys → quoted (strings are already normalized above;
+    # a pathological string VALUE containing '{key:' could be touched,
+    # but the failure mode is load-failure → quarantine, same as today)
+    return re.sub(r'([{,]\s*)([A-Za-z_][A-Za-z0-9_]*)(\s*:)', r'\1"\2"\3', s)
+
+
+def tolerant_json_loads(text: str):
+    """json.loads with a one-shot grammar repair on failure
+    (reference pt.go:236-248). Raises json.JSONDecodeError when even the
+    repaired text does not parse — callers quarantine."""
+    try:
+        return json.loads(text)
+    except json.JSONDecodeError:
+        return json.loads(_repair_json(text))
 
 
 class Scamper1Parser:
@@ -37,8 +113,13 @@ class Scamper1Parser:
         lines = [ln for ln in data.decode("utf-8").splitlines() if ln.strip()]
         if len(lines) != 4:
             raise ValueError(f"expected 4 jsonl lines, got {len(lines)}")
-        _meta, cycle_start, tracelb, cycle_stop = (json.loads(ln)
-                                                   for ln in lines)
+        _meta = json.loads(lines[0])
+        cycle_start = json.loads(lines[1])
+        # the tracelb line is the one early scamper emitted with grammar
+        # errors; repair it like the reference's jsonnet pass
+        # (pt.go:236-248) instead of quarantining the whole member
+        tracelb = tolerant_json_loads(lines[2])
+        cycle_stop = json.loads(lines[3])
         if cycle_start.get("type") != "cycle-start":
             raise ValueError("missing cycle-start line")
         if cycle_stop.get("type") != "cycle-stop":

@@ -90,9 +90,19 @@ def decode_snaplog(data: bytes,
                    ) -> Tuple[pa.Table, int]:
     """Binary snaplog → (Arrow table of all snapshots, logtime). One
     np.frombuffer over the whole body; magic verified vectorized. Records
-    beyond ``max_snapshots`` are truncated (the reference's snapshot cap)."""
+    beyond ``max_snapshots`` are truncated (the reference's snapshot cap).
+
+    Dispatches on the header: the engine-native ``SNAPLOG-ANALOG`` layout
+    decodes here; anything else is treated as the REAL web100 snaplog
+    format (version line + /spec /read /tune field tables,
+    reference web100/web100.go:418-497) via ``etl_ray.web100`` — with the
+    sidestream rename dictionary applied, so both formats surface the same
+    canonical column names."""
     if not data.startswith(MAGIC_HEADER):
-        raise ValueError("bad snaplog magic")
+        from etl_ray.web100 import decode_web100_snaplog
+
+        return decode_web100_snaplog(data, renames=CANONICAL_RENAMES,
+                                     max_snapshots=max_snapshots)
     end = data.find(END_OF_HEADER)
     if end < 0:
         raise ValueError("truncated header")

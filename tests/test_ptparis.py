@@ -127,3 +127,41 @@ def test_decoder_skips_corrupt_members_keeps_schema():
     empty = ParisDecoder()(bad)
     assert len(empty) == 0
     empty.select(["hop_id", "dst_ip", "last_hop"])  # no KeyError
+
+
+def test_tolerant_json_repair():
+    """jsonnet-style grammar repair for early scamper output
+    (reference pt.go:236-248)."""
+    from etl_ray.scamper import tolerant_json_loads
+
+    assert tolerant_json_loads('{"a": 1,}') == {"a": 1}
+    assert tolerant_json_loads("{a: 1, b: [1, 2,], }") == {
+        "a": 1, "b": [1, 2]}
+    assert tolerant_json_loads(
+        "{// comment\n'addr': '1.2.3.4', /* x */ \"q_ttl\": 2}") == {
+        "addr": "1.2.3.4", "q_ttl": 2}
+    # strings with structural chars inside stay untouched
+    assert tolerant_json_loads('{"k": "a,}{:\'v"}') == {"k": "a,}{:'v"}
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        tolerant_json_loads("{utterly broken")
+
+
+def test_scamper_parser_repairs_malformed_tracelb():
+    from etl_ray.scamper import Scamper1Parser
+
+    lines = [
+        '{"type": "meta"}',
+        '{"type": "cycle-start", "start_time": 1489539600, '
+        '"hostname": "h1"}',
+        # trailing comma + bare keys: early-scamper damage
+        '{dst: "192.0.2.77", nodec: 1, nodes: '
+        '[{addr: "192.0.2.5", q_ttl: 2,},],}',
+        '{"type": "cycle-stop"}',
+    ]
+    rows = Scamper1Parser().parse({}, "t.tracelb.jsonl",
+                                  "\n".join(lines).encode())
+    assert len(rows) == 1
+    assert rows[0]["addr"] == "192.0.2.5"
+    assert rows[0]["hop_id"] == "20170315_h1_192.0.2.5"
