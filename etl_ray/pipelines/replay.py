@@ -111,7 +111,8 @@ def _storage_exchange_apply(seg_paths, lake_dir, commit_id, config, target,
     exch = exchange_path(lake_dir, commit_id, config.exchange_root)
     n_buckets = max(4, min(config.num_partitions * config.max_salt, cpus * 2))
 
-    ds = rd.read_parquet(seg_paths)
+    from etl_ray.util import read_parquet_any
+    ds = read_parquet_any(seg_paths)
     # a constructed instance → stateless TASK pool: tasks reuse Ray's
     # pre-started workers (an actor pool would pay ~1s/actor startup every
     # commit); the Validator it carries is cheap to ship
@@ -208,7 +209,7 @@ def replay_once(
 
         total, cut = 0, len(segs)
         for i, s in enumerate(segs):
-            total += _os.path.getsize(s.path)
+            total += s.size if s.size >= 0 else _os.path.getsize(s.path)
             if total > config.max_bytes_per_commit and i > 0:
                 cut = i
                 break
@@ -231,7 +232,9 @@ def replay_once(
             cpus, concurrency,
         )
     else:
-        ds = rd.read_parquet(seg_paths)
+        from etl_ray.util import read_parquet_any
+
+        ds = read_parquet_any(seg_paths)
         ds = ds.map_batches(
             Validator(config, target, salted),
             batch_format="pyarrow",
@@ -276,6 +279,17 @@ def replay_once(
         pp["rows_per_sec"] = round(pp["rows"] / pp["sec"], 1) if pp["sec"] else None
     cs.valid = cs.events_in - cs.quarantined
     cs.wall_sec = time.monotonic() - t0
+    # per-stage distribution metrics for the /metrics scrape surface
+    # (reference exports these as Prometheus histograms,
+    # metrics/metrics.go:398-555)
+    from etl_ray.state.stats import DURATION_BUCKETS, ROWS_BUCKETS, Histogram
+
+    h_sec = Histogram(DURATION_BUCKETS)
+    h_sec.observe_many(stats_tbl["wall_sec"])
+    h_rows = Histogram(ROWS_BUCKETS)
+    h_rows.observe_many(stats_tbl["rows_in"])
+    cs.histograms = {"shard_apply_seconds": h_sec.to_json(),
+                     "shard_rows": h_rows.to_json()}
 
     if (
         config.max_failure_ratio is not None

@@ -60,6 +60,14 @@ class WorkerService:
                             q["wal"], q["lake"]))
                     elif url.path == "/status":
                         self._reply(200, service.status(q["lake"]))
+                    elif url.path == "/metrics":
+                        body = service.metrics(q["lake"]).encode()
+                        self.send_response(200)
+                        self.send_header("Content-Type",
+                                         "text/plain; version=0.0.4")
+                        self.send_header("Content-Length", str(len(body)))
+                        self.end_headers()
+                        self.wfile.write(body)
                     else:
                         self._reply(404, {"error": "unknown path"})
                 except KeyError as e:
@@ -108,6 +116,15 @@ class WorkerService:
             "partitions": len(m.partitions),
             "lineage": {k: v for k, v in m.lineage.items() if k != "commits"},
         }
+
+    def metrics(self, lake: str) -> str:
+        """Prometheus text exposition of the lake's lineage counters and
+        merged per-commit stage histograms (the reference's /metrics
+        scrape, metrics/metrics.go:398-555)."""
+        from etl_ray.state.manifest import Manifest
+        from etl_ray.state.stats import prometheus_text
+
+        return prometheus_text(Manifest.load(lake))
 
     # ----------------------------------------------------------- lifecycle
     def serve_forever(self):

@@ -49,10 +49,25 @@ def list_archives(root: str, *, pattern: str = r"\.(tar|tgz|tar\.gz)$",
     (reference active/active.go:167-203, etl/globals.go:326-330)."""
     pat = re.compile(pattern)
     out = []
-    for dirpath, _dirs, files in os.walk(root):
-        for fn in sorted(files):
-            if pat.search(fn):
-                out.append(os.path.join(dirpath, fn))
+    if "://" in root:
+        # object-store/URI listing via pyarrow.fs (reference streams
+        # archives from GCS, storage/storage.go:242-304)
+        from pyarrow import fs as pafs
+
+        from etl_ray.util import resolve_fs
+
+        f, p = resolve_fs(root)
+        scheme = root.split("://", 1)[0]
+        sel = pafs.FileSelector(p, recursive=True)
+        for info in f.get_file_info(sel):
+            if info.type == pafs.FileType.File and pat.search(
+                    info.base_name):
+                out.append(f"{scheme}://{info.path}")
+    else:
+        for dirpath, _dirs, files in os.walk(root):
+            for fn in sorted(files):
+                if pat.search(fn):
+                    out.append(os.path.join(dirpath, fn))
     out.sort()
     if skip_count > 0:
         out = out[:: skip_count + 1]
@@ -76,7 +91,18 @@ class ArchiveReader:
     def _read_archive(self, path: str):
         rows = []
         mode = "r:gz" if path.endswith((".tgz", ".tar.gz")) else "r"
-        with tarfile.open(path, mode) as tf:
+        if "://" in path:
+            # URI archive: stream through pyarrow.fs inside the task (the
+            # worker, not the driver, touches object storage)
+            from etl_ray.util import resolve_fs
+
+            f, lp = resolve_fs(path)
+            with f.open_input_stream(lp) as fh:
+                buf = io.BytesIO(fh.read())
+            cm = tarfile.open(fileobj=buf, mode=mode)
+        else:
+            cm = tarfile.open(path, mode)
+        with cm as tf:
             for member in tf:
                 if not member.isfile():
                     continue

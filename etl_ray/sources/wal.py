@@ -26,6 +26,7 @@ SEGMENT_RE = re.compile(r"^seg-(\d+)\.parquet$")
 class Segment:
     path: str
     number: int
+    size: int = -1  # bytes (from the listing; URI-transparent)
 
 
 def list_segments(wal_dir: str, *, after: int = -1,
@@ -35,9 +36,13 @@ def list_segments(wal_dir: str, *, after: int = -1,
     """Segments with number > ``after``, in order. ``skip_count`` keeps every
     (skip_count+1)-th segment (sampling relief valve); ``name_filter`` is an
     optional regex over file names (reference job filter)."""
+    from etl_ray.util import fs_listdir
+
     pat = re.compile(name_filter) if name_filter else None
+    is_uri = "://" in wal_dir
+    _, entries = fs_listdir(wal_dir)
     segs = []
-    for fn in sorted(os.listdir(wal_dir)):
+    for fn, size in entries:
         m = SEGMENT_RE.match(fn)
         if not m:
             continue
@@ -46,7 +51,9 @@ def list_segments(wal_dir: str, *, after: int = -1,
         num = int(m.group(1))
         if num <= after:
             continue
-        segs.append(Segment(os.path.join(wal_dir, fn), num))
+        full = (wal_dir.rstrip("/") + "/" + fn) if is_uri else os.path.join(
+            wal_dir, fn)
+        segs.append(Segment(full, num, size))
     if skip_count > 0:
         segs = segs[:: skip_count + 1]
     if limit is not None:
@@ -56,7 +63,16 @@ def list_segments(wal_dir: str, *, after: int = -1,
 
 def segments_schema(paths: List[str]):
     """Promoted Arrow schema across segment footers (footer-only reads —
-    cheap; no data IO). Drives schema evolution before the pipeline runs."""
+    cheap; no data IO). Drives schema evolution before the pipeline runs.
+    URI-transparent (s3://, gs://, file:// via pyarrow.fs)."""
     from etl_ray.schema import promote_all
+    from etl_ray.util import resolve_fs
 
-    return promote_all(pq.read_schema(p) for p in paths)
+    def read_one(p: str):
+        if "://" not in p:
+            return pq.read_schema(p)
+        f, lp = resolve_fs(p)
+        with f.open_input_file(lp) as fh:
+            return pq.read_schema(fh)
+
+    return promote_all(read_one(p) for p in paths)

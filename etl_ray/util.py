@@ -34,3 +34,42 @@ def pool_args(config, fn_cls, ctor_args, max_concurrency):
             num_cpus=1,
         )
     return fn_cls(*ctor_args), {}
+
+
+def resolve_fs(path: str):
+    """URI → (pyarrow filesystem, fs-local path). Plain paths stay on the
+    local filesystem; ``s3://``/``gs://``/``file://`` URIs route through
+    pyarrow.fs (the reference streams archives from object storage,
+    storage/storage.go:242-304 — here any pyarrow-supported store works;
+    ray.data readers accept the same URIs natively)."""
+    from pyarrow import fs as pafs
+
+    if "://" in path:
+        return pafs.FileSystem.from_uri(path)
+    return pafs.LocalFileSystem(), path
+
+
+def fs_listdir(path: str):
+    """Sorted (name, size) of regular files under ``path`` (non-recursive),
+    URI-transparent."""
+    from pyarrow import fs as pafs
+
+    f, p = resolve_fs(path)
+    sel = pafs.FileSelector(p, recursive=False)
+    infos = [i for i in f.get_file_info(sel) if i.type == pafs.FileType.File]
+    return f, sorted((i.base_name, i.size) for i in infos)
+
+
+def read_parquet_any(paths, **kwargs):
+    """ray.data.read_parquet that accepts a LIST of URIs: Ray resolves a
+    filesystem only from the first path and then rejects the remaining
+    URIs ('Expected a local filesystem path, got a URI'), so pre-resolve
+    the filesystem once and pass fs-local paths."""
+    import ray.data as rd
+
+    paths = list(paths)
+    if not any("://" in p for p in paths):
+        return rd.read_parquet(paths, **kwargs)
+    f, first = resolve_fs(paths[0])
+    locals_ = [resolve_fs(p)[1] if "://" in p else p for p in paths]
+    return rd.read_parquet(locals_, filesystem=f, **kwargs)

@@ -153,3 +153,98 @@ def test_lsh_pairs_cap_drops_degenerate_bucket(capsys):
     out2 = lsh_bucketed_pairs(ds, threshold=0.9, n_planes=4, dim=d,
                               max_bucket_ids=10_000).to_pandas()
     assert len(out2) == n * (n - 1) // 2
+
+
+# ------------------------------------------------------------- URI sources
+@pytest.mark.usefixtures("ray_session")
+def test_file_uri_sources_match_local_paths(tmp_path, tmp_lake):
+    """file:// URIs route through pyarrow.fs and behave exactly like local
+    paths for WAL listing, schema sniffing, archive reading, and a full
+    replay (the object-store source path, reference storage.go:242-304)."""
+    import io
+    import tarfile
+
+    from etl_ray.sources.archive import list_archives, read_archives
+    from etl_ray.sources.wal import list_segments, segments_schema
+
+    wal = tmp_path / "wal"
+    wal.mkdir()
+    generate_changelog(str(wal), n_events=500, n_segments=3, vocab=VOCAB,
+                       seed=3)
+    uri = f"file://{wal}"
+    plain = list_segments(str(wal))
+    via_uri = list_segments(uri)
+    assert [s.number for s in via_uri] == [s.number for s in plain]
+    assert all(s.path.startswith("file:///") for s in via_uri)
+    assert [s.size for s in via_uri] == [s.size for s in plain]
+    assert segments_schema([s.path for s in via_uri]).equals(
+        segments_schema([s.path for s in plain]))
+
+    arch_dir = tmp_path / "archives"
+    arch_dir.mkdir()
+    with tarfile.open(arch_dir / "a.tgz", "w:gz") as tf:
+        info = tarfile.TarInfo("m1.jsonl")
+        blob = b'{"x": 1}\n'
+        info.size = len(blob)
+        tf.addfile(info, io.BytesIO(blob))
+    plain_a = list_archives(str(arch_dir))
+    uri_a = list_archives(f"file://{arch_dir}")
+    assert len(plain_a) == len(uri_a) == 1
+    got = read_archives(uri_a).to_pandas()
+    assert list(got["member"]) == ["m1.jsonl"]
+    assert got["data"][0] == blob
+
+    # full replay straight from a file:// WAL
+    replay(uri, tmp_lake, cfg())
+    from etl_ray.lake import read_lake
+
+    assert len(read_lake(tmp_lake).to_pandas()) > 0
+
+
+# ------------------------------------------------------------ metrics
+def test_histogram_merge_and_prometheus_lines():
+    from etl_ray.state.stats import Histogram
+
+    h = Histogram(buckets=(1.0, 10.0))
+    h.observe_many([0.5, 5.0, 50.0])
+    assert h.counts == [1, 1, 1] and h.n == 3
+    h2 = Histogram.from_json(h.to_json())
+    h2.merge(h)
+    assert h2.n == 6 and h2.counts == [2, 2, 2]
+    lines = h2.prometheus_lines("etl_ray_x_seconds")
+    assert 'etl_ray_x_seconds_bucket{le="1.0"} 2' in lines
+    assert 'etl_ray_x_seconds_bucket{le="+Inf"} 6' in lines
+    assert lines[-1] == "etl_ray_x_seconds_count 6"
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_metrics_endpoint_scrape(tmp_wal, tmp_lake):
+    """Replay writes per-stage histograms into the lineage; /metrics
+    renders counters + merged histograms as Prometheus text."""
+    import threading
+    import urllib.request
+
+    from etl_ray.service import WorkerService
+
+    generate_changelog(tmp_wal, n_events=800, n_segments=2, vocab=VOCAB,
+                       seed=9)
+    replay(tmp_wal, tmp_lake, cfg())
+    svc = WorkerService()
+    t = threading.Thread(target=svc.serve_forever, daemon=True)
+    t.start()
+    try:
+        with urllib.request.urlopen(
+                f"http://127.0.0.1:{svc.port}/metrics?lake={tmp_lake}") as r:
+            assert r.headers["Content-Type"].startswith("text/plain")
+            text = r.read().decode()
+    finally:
+        svc.shutdown()
+    assert "etl_ray_events_in_total 800" in text
+    assert "# TYPE etl_ray_shard_apply_seconds histogram" in text
+    assert "etl_ray_shard_rows_count" in text
+    # bucket counts are cumulative and end at the total observation count
+    import re as _re
+
+    m = _re.search(r'etl_ray_shard_rows_bucket\{le="\+Inf"\} (\d+)', text)
+    n = _re.search(r"etl_ray_shard_rows_count (\d+)", text)
+    assert m and n and m.group(1) == n.group(1)
