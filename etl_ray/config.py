@@ -269,6 +269,13 @@ class EngineConfig:
     # fragment parquet codec ("lz4" fast / "zstd" smaller — bytes moved
     # through the exchange are the e2e bottleneck on shared storage)
     exchange_compression: str = "lz4"
+    # IPC-fragment buffer compression (None | "lz4" | "zstd"). The token
+    # payload is ~95% of exchange bytes at ~15.6 bits of entropy per int32
+    # token, so zstd reclaims ~40-50% of the bytes moved — the right trade
+    # whenever the exchange medium (shared DRAM here, network/disk on a
+    # real cluster) is the bottleneck rather than CPU. None = raw buffers
+    # (zero-copy mmap reads on the consumer side).
+    exchange_ipc_compression: Optional[str] = None
     # fragment container: "parquet" (half the bytes — right for disk /
     # shared-fs exchange) or "ipc" (Arrow IPC file, ~10x cheaper encode and
     # near-zero-cost decode at ~2x bytes — right for a RAM-backed

@@ -114,7 +114,10 @@ class ApplyShards:
 
         part = shard // self.config.max_salt
         salt = shard % self.config.max_salt
-        delta = group.drop_columns(["__reason", "__shard"])
+        # valid-row exchange fragments drop the all-null __reason column
+        # up front (bytes-per-event); the sort-exchange path still carries it
+        delta = group.drop_columns(
+            [c for c in ("__reason", "__shard") if c in group.column_names])
         delta = lww_last_per_doc(delta)
         deletes = int(
             pc.sum(pc.equal(delta["op"], "delete").fill_null(False)).as_py() or 0

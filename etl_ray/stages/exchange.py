@@ -79,60 +79,123 @@ class FragmentWriter:
         self.n_buckets = n_buckets
         self.compression = config.exchange_compression
         self.fmt = config.exchange_format
+        self.ipc_compression = config.exchange_ipc_compression
+        self._dict_cols = None  # decided on the first batch, per worker
+
+    def _shrink(self, t: pa.Table) -> pa.Table:
+        """Bytes-per-event reduction before the exchange write: __shard
+        narrows to int32, and low-cardinality string columns (op, source,
+        ...) dictionary-encode — decoded back on the consumer side
+        (ApplyBucket), so nothing downstream changes. doc_id-style
+        high-cardinality columns are left alone."""
+        i = t.schema.get_field_index("__shard")
+        t = t.set_column(i, "__shard", pc.cast(t["__shard"], pa.int32()))
+        if self._dict_cols is None:
+            self._dict_cols = {}
+        key = frozenset(t.column_names)
+        if key not in self._dict_cols:
+            cols = []
+            for name in t.column_names:
+                f = t.schema.field(name)
+                if not (pa.types.is_string(f.type)
+                        or pa.types.is_large_string(f.type)):
+                    continue
+                nd = pc.count_distinct(t[name]).as_py() or 0
+                if nd <= min(1024, max(16, len(t) // 8)):
+                    cols.append(name)
+            self._dict_cols[key] = cols
+        for name in self._dict_cols[key]:
+            i = t.schema.get_field_index(name)
+            if i >= 0 and not pa.types.is_dictionary(t.schema.field(i).type):
+                t = t.set_column(
+                    i, name, pc.dictionary_encode(
+                        t[name].combine_chunks()))
+        return t
+
+    def _write_ipc(self, path: str, table: pa.Table, bucket_ids, starts,
+                   ends, record) -> None:
+        # one IPC record batch per bucket. The encode is ~free; optional
+        # buffer compression trades CPU for exchange bytes. combine_chunks
+        # on the WHOLE table first so every slice shares one dictionary
+        # (the IPC file format forbids dictionary replacement).
+        table = table.combine_chunks()
+        opts = pa.ipc.IpcWriteOptions(
+            compression=self.ipc_compression) if self.ipc_compression \
+            else None
+        with pa.OSFile(path + ".tmp", "wb") as sink:
+            with pa.ipc.new_file(sink, table.schema, options=opts) as w:
+                for rg, (s, e) in enumerate(zip(starts, ends)):
+                    piece = table.slice(int(s), int(e - s))
+                    batches = piece.combine_chunks().to_batches()
+                    if len(batches) != 1:  # defensive: batch idx == rg
+                        one = pa.Table.from_batches(batches).combine_chunks()
+                        batches = one.to_batches(max_chunksize=len(one))
+                    w.write_batch(batches[0])
+                    record(rg, int(bucket_ids[s]), len(piece))
+        os.replace(path + ".tmp", path)
+
+    def _write_parquet(self, path: str, table: pa.Table, bucket_ids, starts,
+                       ends, record) -> None:
+        with pq.ParquetWriter(path + ".tmp", table.schema,
+                              compression=self.compression) as w:
+            for rg, (s, e) in enumerate(zip(starts, ends)):
+                piece = table.slice(int(s), int(e - s))
+                w.write_table(piece, row_group_size=len(piece))
+                record(rg, int(bucket_ids[s]), len(piece))
+        os.replace(path + ".tmp", path)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         if len(batch) == 0:
             return FRAG_STATS_SCHEMA.empty_table()
         batch = self.validator(batch)
         shard = batch["__shard"].to_numpy(zero_copy_only=False)
-        bucket = shard % self.n_buckets
-        bucket = np.where(shard == QUARANTINE_SHARD, self.n_buckets, bucket)
-        order = np.argsort(bucket, kind="stable")
-        sb = batch.take(pa.array(order))
-        bs = bucket[order]
-        bounds = np.flatnonzero(np.diff(bs)) + 1
-        starts = np.concatenate([[0], bounds]).astype(np.int64)
-        ends = np.concatenate([bounds, [len(bs)]]).astype(np.int64)
+        is_q = shard == QUARANTINE_SHARD
         os.makedirs(self.exchange_dir, exist_ok=True)
         ext = "arrow" if self.fmt == "ipc" else "parquet"
-        rel = f"frag-{uuid.uuid4().hex}.{ext}"
-        path = os.path.join(self.exchange_dir, rel)
-        out = {"bucket": [], "rows": [], "quarantined": [], "row_group": []}
+        tag = uuid.uuid4().hex
+        out = {"bucket": [], "rows": [], "quarantined": [], "row_group": [],
+               "file": []}
+        write = self._write_ipc if self.fmt == "ipc" else self._write_parquet
 
-        def record(rg, b, piece):
-            out["bucket"].append(b)
-            out["rows"].append(len(piece))
-            out["quarantined"].append(len(piece) if b == self.n_buckets else 0)
-            out["row_group"].append(rg)
+        def split_and_write(t: pa.Table, bucket: np.ndarray, rel: str):
+            order = np.argsort(bucket, kind="stable")
+            sb = t.take(pa.array(order))
+            bs = bucket[order]
+            bounds = np.flatnonzero(np.diff(bs)) + 1
+            starts = np.concatenate([[0], bounds]).astype(np.int64)
+            ends = np.concatenate([bounds, [len(bs)]]).astype(np.int64)
 
-        if self.fmt == "ipc":
-            # one IPC record batch per bucket: ~free encode/decode — right
-            # for a RAM-backed exchange (see EngineConfig.exchange_format)
-            with pa.OSFile(path + ".tmp", "wb") as sink:
-                with pa.ipc.new_file(sink, sb.schema) as w:
-                    for rg, (s, e) in enumerate(zip(starts, ends)):
-                        piece = sb.slice(int(s), int(e - s)).combine_chunks()
-                        batches = piece.to_batches()
-                        if len(batches) != 1:  # defensive: batch idx == rg
-                            one = pa.Table.from_batches(
-                                batches).combine_chunks()
-                            batches = one.to_batches(max_chunksize=len(one))
-                        w.write_batch(batches[0])
-                        record(rg, int(bs[s]), piece)
-        else:
-            with pq.ParquetWriter(path + ".tmp", sb.schema,
-                                  compression=self.compression) as w:
-                for rg, (s, e) in enumerate(zip(starts, ends)):
-                    piece = sb.slice(int(s), int(e - s))
-                    w.write_table(piece, row_group_size=len(piece))
-                    record(rg, int(bs[s]), piece)
-        os.replace(path + ".tmp", path)
+            def record(rg, b, n):
+                out["bucket"].append(b)
+                out["rows"].append(n)
+                out["quarantined"].append(n if b == self.n_buckets else 0)
+                out["row_group"].append(rg)
+                out["file"].append(rel)
+
+            write(os.path.join(self.exchange_dir, rel), sb, bs, starts,
+                  ends, record)
+
+        if is_q.any():
+            # quarantine rows go to their OWN fragment: they are the only
+            # rows that need the __reason column, so valid fragments drop
+            # it entirely (an all-null string column still costs an offsets
+            # buffer per row in IPC)
+            qt = batch.filter(pa.array(is_q))
+            split_and_write(self._shrink(qt),
+                            np.full(len(qt), self.n_buckets, np.int64),
+                            f"frag-{tag}-q.{ext}")
+            batch = batch.filter(pa.array(~is_q))
+            shard = shard[~is_q]
+        if len(batch):
+            batch = self._shrink(batch.drop_columns(["__reason"]))
+            split_and_write(batch, shard % self.n_buckets,
+                            f"frag-{tag}.{ext}")
         return pa.table(
             {
                 "bucket": pa.array(out["bucket"], pa.int64()),
                 "rows": pa.array(out["rows"], pa.int64()),
                 "quarantined": pa.array(out["quarantined"], pa.int64()),
-                "file": pa.array([rel] * len(out["bucket"]), pa.string()),
+                "file": pa.array(out["file"], pa.string()),
                 "row_group": pa.array(out["row_group"], pa.int64()),
             },
             schema=FRAG_STATS_SCHEMA,
@@ -170,6 +233,21 @@ class ApplyBucket:
         self.n_buckets = n_buckets
         self._mmaps: List = []
 
+    @staticmethod
+    def _undo_shrink(t: pa.Table) -> pa.Table:
+        """Reverse FragmentWriter._shrink: dictionary columns decode back
+        to plain values and __shard widens to int64, so apply/merge logic
+        sees the original schema."""
+        for i, f in enumerate(t.schema):
+            if pa.types.is_dictionary(f.type):
+                t = t.set_column(
+                    i, f.name, pc.cast(t.column(i), f.type.value_type))
+        i = t.schema.get_field_index("__shard")
+        if i >= 0 and t.schema.field(i).type != pa.int64():
+            t = t.set_column(i, "__shard",
+                             pc.cast(t["__shard"], pa.int64()))
+        return t
+
     def _bucket_table(self, row: dict):
         from etl_ray.stages.merge import lww_last_per_keys
 
@@ -194,6 +272,7 @@ class ApplyBucket:
                     [pa.ipc.open_file(mm).get_batch(rg)])
             else:
                 t = pq.ParquetFile(path).read_row_group(rg)
+            t = self._undo_shrink(t)
             for vc in pc.value_counts(t["__shard"]).to_pylist():
                 true_counts[vc["values"]] = (
                     true_counts.get(vc["values"], 0) + vc["counts"])

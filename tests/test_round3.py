@@ -248,3 +248,34 @@ def test_metrics_endpoint_scrape(tmp_wal, tmp_lake):
     m = _re.search(r'etl_ray_shard_rows_bucket\{le="\+Inf"\} (\d+)', text)
     n = _re.search(r"etl_ray_shard_rows_count (\d+)", text)
     assert m and n and m.group(1) == n.group(1)
+
+
+# ------------------------------------------- exchange bytes-per-event work
+@pytest.mark.usefixtures("ray_session")
+def test_zstd_ipc_exchange_same_state(tmp_wal, tmp_path):
+    """Compressed-IPC exchange must produce the identical lake state as the
+    raw-IPC default (bytes-for-CPU trade only), with corrupt rows still
+    quarantined through the split fragment."""
+    from etl_ray.lake import read_lake, read_quarantine
+
+    generate_changelog(tmp_wal, n_events=2000, n_segments=2, vocab=VOCAB,
+                       seed=21, corrupt_frac=0.05)
+    frames = {}
+    quar = {}
+    for name, kw in {
+        "raw": dict(exchange_format="ipc"),
+        "zstd": dict(exchange_format="ipc", exchange_ipc_compression="zstd"),
+        "parquet": dict(exchange_format="parquet"),
+    }.items():
+        lake = str(tmp_path / f"lake_{name}")
+        replay(tmp_wal, lake, cfg(exchange_root=str(tmp_path / "x" / name),
+                                  **kw))
+        frames[name] = read_lake(lake, include_seq=True).to_pandas() \
+            .sort_values("doc_id").reset_index(drop=True)
+        quar[name] = len(read_quarantine(lake))
+    for name in ("zstd", "parquet"):
+        assert frames[name]["doc_id"].tolist() == \
+            frames["raw"]["doc_id"].tolist()
+        assert frames[name]["sequence_number"].tolist() == \
+            frames["raw"]["sequence_number"].tolist()
+        assert quar[name] == quar["raw"] > 0
