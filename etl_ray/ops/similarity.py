@@ -147,7 +147,13 @@ class IVFTopK:
             return _EMPTY_TOPK
         X = _normalize(_matrix(batch[self.vec_col]))
         ids = np.asarray(batch[self.id_col].to_numpy(zero_copy_only=False))
-        assign = np.argmax(X @ self.C.T, axis=1)  # (nb,)
+        if "cell_id" in batch.column_names:
+            # pre-built index (ivf_build): the (nb x nlist) assignment
+            # matmul — the dominant cost at small query counts — was paid
+            # ONCE at build time, not per query batch
+            assign = batch["cell_id"].to_numpy(zero_copy_only=False)
+        else:
+            assign = np.argmax(X @ self.C.T, axis=1)  # (nb,)
         order = np.argsort(assign, kind="stable")
         sorted_assign = assign[order]
         cells, starts = np.unique(sorted_assign, return_index=True)
@@ -183,15 +189,58 @@ class IVFTopK:
         })
 
 
+class CellAssigner:
+    """Index-build stage: append ``cell_id`` (nearest coarse centroid) to
+    every vector row. One pass over the corpus; at cluster scale cell_id
+    doubles as the partition key so a query only READS probed cells."""
+
+    def __init__(self, centroids_ref, vec_col: str = "embedding"):
+        import ray
+
+        self.C = np.asarray(ray.get(centroids_ref), dtype=np.float64)
+        self.vec_col = vec_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        if len(batch) == 0:
+            return batch.append_column("cell_id", pa.array([], pa.int64()))
+        X = _normalize(_matrix(batch[self.vec_col]))
+        cell = np.argmax(X @ self.C.T, axis=1)
+        return batch.append_column(
+            "cell_id", pa.array(cell.astype(np.int64)))
+
+
+def ivf_build(ds, *, dim: int, nlist: int = 64, seed: int = 11,
+              vec_col: str = "embedding", concurrency: int = 4):
+    """Build the IVF index: one assignment pass, result materialized with
+    ``cell_id`` attached. Returns (indexed_ds, centroids). Pass the SAME
+    centroids to ivf_topk so its probe lists match the assignment."""
+    import ray
+
+    C = ivf_centroids(dim, nlist, seed)
+    ref = ray.put(C)
+    indexed = ds.map_batches(
+        CellAssigner,
+        fn_constructor_args=(ref, vec_col),
+        batch_format="pyarrow",
+        concurrency=concurrency,
+        num_cpus=1,
+    ).materialize()
+    return indexed, C
+
+
 def ivf_topk(ds, query_ids, query_matrix, *, k: int = 10, nlist: int = 8,
              nprobe: int = 3, seed: int = 11, id_col: str = "vec_id",
-             vec_col: str = "embedding", concurrency: int = 4) -> pd.DataFrame:
+             vec_col: str = "embedding", concurrency: int = 4,
+             centroids=None) -> pd.DataFrame:
     """IVF ANN top-k: centroids + queries broadcast once via ray.put;
-    per-batch masked scoring + partial top-k; tiny driver reduce."""
+    per-batch per-cell pruned scoring + partial top-k; tiny driver reduce.
+    When ``ds`` carries a ``cell_id`` column from ivf_build, pass that
+    build's ``centroids`` — the per-batch assignment matmul is skipped."""
     import ray
 
     Q = np.asarray(query_matrix, dtype=np.float64)
-    C = ivf_centroids(Q.shape[1], nlist, seed)
+    C = np.asarray(centroids, dtype=np.float64) if centroids is not None \
+        else ivf_centroids(Q.shape[1], nlist, seed)
     ref = ray.put({"ids": np.asarray(query_ids), "matrix": Q,
                    "centroids": C})
     partials = ds.map_batches(

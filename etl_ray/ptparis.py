@@ -327,3 +327,36 @@ class ParisDecoder:
         if not outs:
             return _HOP_SCHEMA.empty_table()
         return pa.concat_tables(outs)
+
+
+def paris_tests(ds, *, concurrency: int = 4):
+    """Hop-row Dataset (ParisDecoder output) → one row per TEST with the
+    pollution-relevant fields: dest_ip, last_hop, complete
+    (= reached expected dest). Feed into ops.pollution.detect_pollution
+    keyed by server/machine — the reference buffers per parser instance
+    (pt.go:627-669); here the key column makes the same window distributed."""
+    import pyarrow.compute as pc
+
+    def per_test(batch: pa.Table) -> pa.Table:
+        # hop_index==0 is the FINAL hop of its test: one row per member
+        return batch.filter(pc.equal(batch["hop_index"], 0)).select(
+            ["member", "dest_ip", "server_ip", "last_hop", "reached_dest",
+             "log_time"])
+
+    return ds.map_batches(per_test, batch_format="pyarrow")
+
+
+def detect_paris_pollution(hops_ds, *, window: int = PT_BUFFER_SIZE,
+                           concurrency: int = 4):
+    """End-to-end integration: parsed .paris hop rows → per-test stream →
+    pollution flags (a later test whose dest matches a buffered incomplete
+    test's last hop retracts it — reference pt.go:627-669). Returns the
+    per-test Dataset with (polluted, retracted_by)."""
+    from etl_ray.ops.pollution import detect_pollution
+
+    tests = paris_tests(hops_ds, concurrency=concurrency)
+    return detect_pollution(
+        tests, key_col="server_ip", order_col="log_time",
+        dest_col="dest_ip", last_hop_col="last_hop",
+        complete_col="reached_dest", window=window,
+        concurrency=concurrency)

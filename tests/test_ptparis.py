@@ -165,3 +165,49 @@ def test_scamper_parser_repairs_malformed_tracelb():
     assert len(rows) == 1
     assert rows[0]["addr"] == "192.0.2.5"
     assert rows[0]["hop_id"] == "20170315_h1_192.0.2.5"
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_paris_pollution_integration(tmp_path):
+    """A later test whose dest equals a buffered incomplete test's last hop
+    retracts it (pt.go:627-669), driven from raw .paris text through
+    ParisDecoder -> per-test rows -> the distributed pollution window."""
+    import io
+    import tarfile
+
+    from etl_ray.ptparis import detect_paris_pollution
+    from etl_ray.sources.archive import read_archives
+
+    def paris(dest, hops, t):
+        lines = [f"traceroute [(10.0.0.1:33461) -> ({dest}:53849)], "
+                 "protocol icmp, algo exhaustive, duration 19 s"]
+        for i, ip in enumerate(hops):
+            lines.append(f"{i+1}  P(6, 6)  h.example  ({ip})  "
+                         "0.1/0.2/0.3/0.4 ms")
+        name = f"20170315T00:00:{t:02d}Z_x.paris"
+        return name, "\n".join(lines).encode()
+
+    members = [
+        # test A: incomplete, last hop 192.0.2.9
+        paris("203.0.113.50", ["192.0.2.1", "192.0.2.9"], 1),
+        # test B: dest EQUALS A's last hop -> A is polluted
+        paris("192.0.2.9", ["192.0.2.1", "192.0.2.9"], 2),
+        # test C: unrelated
+        paris("203.0.113.60", ["192.0.2.3"], 3),
+    ]
+    p = tmp_path / "pt.tgz"
+    with tarfile.open(p, "w:gz") as tf:
+        for name, blob in members:
+            info = tarfile.TarInfo(name)
+            info.size = len(blob)
+            tf.addfile(info, io.BytesIO(blob))
+    from etl_ray.ptparis import ParisDecoder
+
+    hops = read_archives([str(p)]).map_batches(
+        ParisDecoder(machine="m1"), batch_format="pyarrow")
+    out = detect_paris_pollution(hops).to_pandas().sort_values(
+        "log_time").reset_index(drop=True)
+    assert len(out) == 3
+    assert bool(out.loc[0, "polluted"])          # A retracted by B
+    assert not bool(out.loc[1, "polluted"])      # B reached its dest
+    assert not bool(out.loc[2, "polluted"])

@@ -279,3 +279,31 @@ def test_zstd_ipc_exchange_same_state(tmp_wal, tmp_path):
         assert frames[name]["sequence_number"].tolist() == \
             frames["raw"]["sequence_number"].tolist()
         assert quar[name] == quar["raw"] > 0
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_ivf_build_query_matches_unbuilt():
+    """The pre-built cell_id path (assignment paid once at build) must
+    return exactly the same top-k as per-batch assignment."""
+    import ray.data as rd
+
+    from etl_ray.ops.similarity import ivf_build, ivf_topk
+
+    rng = np.random.default_rng(8)
+    n, d = 400, 16
+    M = rng.standard_normal((n, d)).astype(np.float32)
+    tbl = pa.table({
+        "vec_id": pa.array(np.arange(n, dtype=np.int64)),
+        "embedding": pa.FixedSizeListArray.from_arrays(
+            pa.array(M.reshape(-1)), d).cast(pa.list_(pa.float32())),
+    })
+    ds = rd.from_arrow(tbl)
+    q_ids = np.arange(3, dtype=np.int64)
+    Q = M[:3].astype(np.float64)
+    plain = ivf_topk(ds, q_ids, Q, k=4, nlist=8, nprobe=3, seed=5,
+                     concurrency=2)
+    indexed, C = ivf_build(ds, dim=d, nlist=8, seed=5, concurrency=2)
+    built = ivf_topk(indexed, q_ids, Q, k=4, nprobe=3, centroids=C,
+                     concurrency=2)
+    pd.testing.assert_frame_equal(built.reset_index(drop=True),
+                                  plain.reset_index(drop=True))
