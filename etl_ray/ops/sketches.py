@@ -84,10 +84,12 @@ def cms_counts(ds, col: str, *, depth: int = 4, width: int = 64):
     from ray.data.aggregate import Sum
 
     def partial(df: pd.DataFrame) -> pd.DataFrame:
-        vals = df[col].astype(str).to_numpy(dtype=object)
+        vals = df[col].astype(str).to_numpy(dtype="U")
         outs = []
         for i in range(depth):
-            salted = np.array([f"{i}|{v}" for v in vals], dtype=object)
+            # vectorized salt: one np.char.add over the fixed-width array
+            # (was a per-value listcomp — r02 verdict nit)
+            salted = np.char.add(f"{i}|", vals).astype(object)
             b = (md5le64(salted) % np.uint64(width)).astype(np.int64)
             c = pd.DataFrame({"row": i, "bucket": b})
             outs.append(c.groupby(["row", "bucket"], as_index=False)
