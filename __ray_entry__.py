@@ -264,6 +264,19 @@ FROM parts GROUP BY bucket ORDER BY bucket
 """
 
 
+def _sql_bloom_bits(m: int = 4096, k: int = 4) -> str:
+    selects = []
+    for i in range(k):
+        h = _md5le64_sql(f"'{i}|' || CAST(user_id AS VARCHAR)")
+        selects.append(
+            f"SELECT CAST({h} % {m} AS BIGINT) AS bit FROM events")
+    union = "\nUNION ALL\n".join(selects)
+    return f"""
+WITH bits AS ({union})
+SELECT DISTINCT bit FROM bits ORDER BY bit
+"""
+
+
 def _sql_cms_counts(depth: int = 4, width: int = 64) -> str:
     selects = []
     for i in range(depth):
@@ -675,6 +688,32 @@ def _q_cms_counts(sf_dir: str):
     return out.sort_values(["row", "bucket"]).reset_index(drop=True)
 
 
+def _q_bloom_bits(sf_dir: str):
+    """Bloom-filter membership sketch STATE (distinct set bits; mergeable
+    set-union partial agg — the oracle checks the filter bit-for-bit)."""
+    import ray.data as rd
+
+    from etl_ray.ops.sketches import bloom_bits
+
+    ds = rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                         columns=["user_id"])
+    out = bloom_bits(ds, "user_id", m=4096, k=4).to_pandas()
+    return out.sort_values("bit").reset_index(drop=True)
+
+
+def _q_token_histogram(sf_dir: str):
+    """Corpus vocabulary histogram: batch-local explode+count, shuffle
+    moves one row per distinct token per batch, hash-aggregate Sum."""
+    import ray.data as rd
+
+    from etl_ray.ops.textops import token_histogram
+
+    ds = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                         columns=["text"])
+    out = token_histogram(ds).to_pandas()
+    return out.sort_values("token").reset_index(drop=True)
+
+
 def _q_ann_ivf_topk(sf_dir: str):
     """IVF ANN: coarse-quantizer cell pruning (nprobe of nlist cells
     scored per query) with exact cosine inside probed cells."""
@@ -938,6 +977,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dim_broadcast_join": _q_dim_broadcast_join,
         "hll_registers": _q_hll_registers,
         "cms_counts": _q_cms_counts,
+        "bloom_bits": _q_bloom_bits,
+        "token_histogram": _q_token_histogram,
         "sessionize": _q_sessionize,
         "rolling_avg": _q_rolling_avg,
         "archive_ingest": _q_archive_ingest,
@@ -1370,6 +1411,15 @@ FROM pos GROUP BY bucket, p // 128 ORDER BY seq_id
         "ann_ivf_topk": _sql_ann_ivf(8, 3, 10),
         "hll_registers": _sql_hll_registers(8),
         "cms_counts": _sql_cms_counts(4, 64),
+        "bloom_bits": _sql_bloom_bits(4096, 4),
+        "token_histogram": r"""
+WITH toks AS (
+  SELECT UNNEST(regexp_split_to_array(trim(text), '\s+')) AS token
+  FROM documents WHERE trim(text) <> ''
+)
+SELECT token, count(*) AS n
+FROM toks WHERE token <> '' GROUP BY token ORDER BY token
+""",
         "dedup_minhash_lsh": _sql_dedup_minhash(),
         "dedup_ngram_jaccard": _sql_dedup_ngram_jaccard(0.3),
         "dedup_simhash": _sql_dedup_simhash(10),

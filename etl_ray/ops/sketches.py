@@ -114,3 +114,44 @@ def cms_query(cells: pd.DataFrame, value, *, depth: int = 4,
         n = int(lookup.get((i, b), 0))
         est = n if est is None else min(est, n)
     return est
+
+
+# ----------------------------------------------------------- Bloom filter
+def bloom_bits(ds, col: str, *, m: int = 1 << 12, k: int = 4):
+    """Mergeable Bloom-filter state: the DISTINCT set bits of an m-bit
+    filter with k salted md5 hashes per value. Same scale shape as the HLL
+    registers: each batch folds rows into ≤ m bit indices (vectorized),
+    the shuffle moves bit rows (never values), the combine is set-union
+    via a distinct groupby. The bit table is exactly reproducible in SQL
+    (portable md5le64 salting, like CMS), so the oracle checks filter
+    STATE bit-for-bit. Membership: all k bits set ⇒ maybe; any unset ⇒
+    definitely absent."""
+    from ray.data.aggregate import Count
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        vals = df[col].astype(str).to_numpy(dtype="U")
+        outs = []
+        for i in range(k):
+            salted = np.char.add(f"{i}|", vals).astype(object)
+            outs.append((md5le64(salted) % np.uint64(m)).astype(np.int64))
+        bits = np.unique(np.concatenate(outs)) if outs else \
+            np.array([], np.int64)
+        return pd.DataFrame({"bit": bits})
+
+    return (
+        ds.map_batches(partial, batch_format="pandas")
+        .groupby("bit")
+        .aggregate(Count(alias_name="_n"))
+        .map_batches(lambda t: t.select(["bit"]), batch_format="pyarrow")
+    )
+
+
+def bloom_contains(bits: "pd.Series | np.ndarray", value,
+                   *, m: int = 1 << 12, k: int = 4) -> bool:
+    bitset = set(int(b) for b in np.asarray(bits))
+    for i in range(k):
+        h = int(md5le64(np.array([f"{i}|{value}"], dtype=object))[0]
+                % np.uint64(m))
+        if h not in bitset:
+            return False
+    return True

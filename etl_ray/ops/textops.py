@@ -64,3 +64,27 @@ def fingerprints(ds, *, text_col: str = "text", id_col: str = "doc_id"):
         )
 
     return ds.map_batches(f, batch_format="pandas")
+
+
+def token_histogram(ds, *, text_col: str = "text"):
+    """Corpus-wide vocabulary histogram: whitespace tokens → (token, n).
+
+    The canonical pre-training corpus statistic. Scale shape: tokens are
+    counted WITHIN each batch first (pandas explode + value_counts — no
+    Python loop), so the shuffle moves one row per DISTINCT token per
+    batch, and the combine is a hash-aggregate Sum; rows never move."""
+    import pandas as pd
+
+    from ray.data.aggregate import Sum
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        toks = df[text_col].astype(str).str.split().explode().dropna()
+        vc = toks.value_counts()
+        return pd.DataFrame({"token": vc.index.astype(str),
+                             "n": vc.to_numpy(dtype="int64")})
+
+    return (
+        ds.map_batches(partial, batch_format="pandas")
+        .groupby("token")
+        .aggregate(Sum("n", alias_name="n"))
+    )

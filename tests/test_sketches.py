@@ -63,3 +63,35 @@ def test_cms_point_queries_bound_true_counts(tmp_path):
         est = cms_query(cells, t, depth=4, width=64)
         assert est >= n  # CMS never under-counts
         assert est <= n + 4000 // 16  # loose collision bound at width 64
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_bloom_bits_membership():
+    import ray.data as rd
+
+    from etl_ray.ops.sketches import bloom_bits, bloom_contains
+
+    vals = [f"user-{i}" for i in range(200)]
+    ds = rd.from_items([{"v": v} for v in vals])
+    bits = bloom_bits(ds, "v", m=4096, k=4).to_pandas()["bit"]
+    # no false negatives, ever
+    assert all(bloom_contains(bits, v, m=4096, k=4) for v in vals)
+    # false-positive rate is small at this fill factor
+    fp = sum(bloom_contains(bits, f"absent-{i}", m=4096, k=4)
+             for i in range(500))
+    assert fp < 25
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_token_histogram_matches_collections_counter():
+    import collections
+
+    import ray.data as rd
+
+    from etl_ray.ops.textops import token_histogram
+
+    texts = ["a b b c", "  c  a ", "", "d d d"]
+    ds = rd.from_items([{"text": t} for t in texts]).repartition(3)
+    out = token_histogram(ds).to_pandas().set_index("token")["n"].to_dict()
+    exp = collections.Counter(" ".join(texts).split())
+    assert out == dict(exp)
