@@ -688,6 +688,39 @@ def _q_cms_counts(sf_dir: str):
     return out.sort_values(["row", "bucket"]).reset_index(drop=True)
 
 
+def _q_asof_state(sf_dir: str):
+    """AS-OF join: each event picks the latest state-change row (derived
+    stream, every 50th event) with since <= event_id, per user — the
+    bucketed-shuffle variant (ONE hash exchange, vectorized merge_asof per
+    bucket; DuckDB ASOF JOIN is the oracle)."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from etl_ray.ops.joins import asof_join
+
+    left = rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                           columns=["event_id", "user_id", "value"])
+
+    def to_state(batch: pa.Table) -> pa.Table:
+        import numpy as np
+
+        eid = batch["event_id"].to_numpy(zero_copy_only=False)
+        keep = batch.filter(pa.array(eid % 50 == 0))
+        state = np.round(
+            keep["value"].to_numpy(zero_copy_only=False) * 100)
+        return pa.table({
+            "user_id": keep["user_id"],
+            "since": keep["event_id"],
+            "state": pa.array(state.astype(np.int64)),
+        })
+
+    right = left.map_batches(to_state, batch_format="pyarrow")
+    out = asof_join(left, right, by="user_id", on="event_id",
+                    right_on="since", value_cols=["state"]).to_pandas()
+    out["state"] = out["state"].astype("float64")
+    return out.sort_values(["user_id", "event_id"]).reset_index(drop=True)
+
+
 def _q_bloom_bits(sf_dir: str):
     """Bloom-filter membership sketch STATE (distinct set bits; mergeable
     set-union partial agg — the oracle checks the filter bit-for-bit)."""
@@ -979,6 +1012,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cms_counts": _q_cms_counts,
         "bloom_bits": _q_bloom_bits,
         "token_histogram": _q_token_histogram,
+        "asof_state": _q_asof_state,
         "sessionize": _q_sessionize,
         "rolling_avg": _q_rolling_avg,
         "archive_ingest": _q_archive_ingest,
@@ -1412,6 +1446,17 @@ FROM pos GROUP BY bucket, p // 128 ORDER BY seq_id
         "hll_registers": _sql_hll_registers(8),
         "cms_counts": _sql_cms_counts(4, 64),
         "bloom_bits": _sql_bloom_bits(4096, 4),
+        "asof_state": """
+WITH r AS (
+  SELECT user_id, event_id AS since,
+         CAST(round(value * 100) AS BIGINT) AS state
+  FROM events WHERE event_id % 50 = 0
+)
+SELECT e.event_id, e.user_id, e.value, r.state
+FROM events e ASOF LEFT JOIN r
+  ON e.user_id = r.user_id AND e.event_id >= r.since
+ORDER BY e.user_id, e.event_id
+""",
         "token_histogram": r"""
 WITH toks AS (
   SELECT UNNEST(regexp_split_to_array(trim(text), '\s+')) AS token

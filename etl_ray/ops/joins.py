@@ -72,3 +72,132 @@ def broadcast_join(ds, lookup: pd.DataFrame, *, left_on: str, right_on: str,
         concurrency=concurrency,
         num_cpus=1,
     )
+
+
+# ------------------------------------------------------------- as-of joins
+class BroadcastAsof:
+    """Stateful map_batches stage for the small-right-side AS-OF join:
+    per key, each left row gets the LATEST right row whose time is <= the
+    left time (direction='backward'). The right side is indexed ONCE per
+    worker (sorted arrays per key); each batch is one vectorized
+    np.searchsorted per key present — zero shuffle."""
+
+    def __init__(self, right_ref, by: str, on: str, right_on: str,
+                 value_cols: List[str]):
+        import ray
+
+        right = ray.get(right_ref) if not isinstance(
+            right_ref, pd.DataFrame) else right_ref
+        self.by, self.on = by, on
+        self.value_cols = value_cols
+        self.index: Dict = {}
+        for key, g in right.groupby(by, sort=False):
+            g = g.sort_values(right_on, kind="stable")
+            self.index[key] = (
+                g[right_on].to_numpy(),
+                {c: g[c].to_numpy() for c in value_cols},
+            )
+
+    def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+        n = len(df)
+        out = {c: np.full(n, None, dtype=object) for c in self.value_cols}
+        keys = df[self.by].to_numpy()
+        times = df[self.on].to_numpy()
+        for key, idx in pd.Series(range(n)).groupby(keys):
+            entry = self.index.get(key)
+            if entry is None:
+                continue
+            t_right, vals = entry
+            pos = np.searchsorted(t_right, times[idx.to_numpy()],
+                                  side="right") - 1
+            ok = pos >= 0
+            rows = idx.to_numpy()[ok]
+            for c in self.value_cols:
+                out[c][rows] = vals[c][pos[ok]]
+        res = df.copy()
+        for c in self.value_cols:
+            res[c] = out[c]
+        return res
+
+
+def asof_join_broadcast(left, right: pd.DataFrame, *, by: str, on: str,
+                        right_on: str, value_cols: List[str],
+                        concurrency: int = 4):
+    """AS-OF join with a broadcast right side (`ray.put` once, indexed once
+    per worker). Right side must fit worker memory — the dim-state shape."""
+    import ray
+
+    ref = ray.put(right)
+    return left.map_batches(
+        BroadcastAsof,
+        fn_constructor_args=(ref, by, on, right_on, value_cols),
+        batch_format="pandas",
+        concurrency=concurrency,
+        num_cpus=1,
+    )
+
+
+def asof_join(left, right, *, by: str, on: str, right_on: str,
+              value_cols: List[str], num_buckets: Optional[int] = None):
+    """Scalable AS-OF join: both sides hash-bucket on the key (ONE shuffle,
+    bounded group count — never a group per key, which is the many-tiny-
+    groups map_groups shape measured pathological), then each bucket runs
+    one vectorized ``pd.merge_asof``. Partitioning assumption: a bucket's
+    rows (both sides) fit one worker — size num_buckets accordingly."""
+    import ray
+
+    if num_buckets is None:
+        cpus = int(ray.cluster_resources().get("CPU", 4))
+        num_buckets = max(4, cpus)
+
+    base = left.schema().base_schema
+    if isinstance(base, pa.Schema):
+        lschema = base
+    else:  # PandasBlockSchema: parallel .names / .types (numpy dtypes)
+        lschema = pa.schema([
+            (n, pa.from_numpy_dtype(np.dtype(t)))
+            for n, t in zip(base.names, base.types)
+        ])
+    left_cols = list(lschema.names)
+    all_cols = left_cols + [c for c in [right_on] + value_cols
+                            if c not in left_cols]
+    # NaN-padding the union upcasts ints to float; remember the left-side
+    # dtypes so per_bucket can restore them after the side split
+    left_dtypes = {f.name: f.type.to_pandas_dtype() for f in lschema
+                   if pa.types.is_integer(f.type)
+                   or pa.types.is_floating(f.type)}
+
+    def tag(side: int):
+        def f(df: pd.DataFrame) -> pd.DataFrame:
+            df = df.copy()
+            for c in all_cols:
+                if c not in df.columns:
+                    df[c] = np.nan
+            df = df[all_cols]
+            df["__side"] = np.int64(side)
+            df["__bucket"] = pd.util.hash_array(
+                df[by].to_numpy()).astype(np.int64) % num_buckets
+            return df
+
+        return f
+
+    lt = left.map_batches(tag(0), batch_format="pandas")
+    rt = right.map_batches(tag(1), batch_format="pandas")
+    both = lt.union(rt)
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        lf = g[g["__side"] == 0][left_cols].copy()
+        for c, dt in left_dtypes.items():
+            lf[c] = lf[c].astype(dt)
+        lf = lf.sort_values(on, kind="stable")
+        rf = g[g["__side"] == 1][[by, right_on] + value_cols]
+        rf = rf.dropna(subset=[right_on]).sort_values(
+            right_on, kind="stable").copy()
+        rf[right_on] = rf[right_on].astype(lf[on].dtype)
+        rf[by] = rf[by].astype(lf[by].dtype)
+        merged = pd.merge_asof(lf, rf, left_on=on, right_on=right_on,
+                               by=by, direction="backward")
+        return merged.drop(columns=[right_on])
+
+    return both.groupby("__bucket").map_groups(
+        per_bucket, batch_format="pandas")

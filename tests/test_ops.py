@@ -171,3 +171,45 @@ def test_minhash_near_dups_verified():
     # near dup 0-2 survives the 0.5 threshold; unrelated pairs do not
     assert (0, 2) in pairs or (1, 2) in pairs
     assert (3, 4) not in pairs
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_asof_join_broadcast_matches_shuffle():
+    """Both as-of variants (broadcast index vs bucketed merge_asof) must
+    agree, incl. left rows with no match (state stays null)."""
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from etl_ray.ops.joins import asof_join, asof_join_broadcast
+
+    rng = np.random.default_rng(4)
+    left_df = pd.DataFrame({
+        "k": rng.integers(0, 5, 200),
+        "t": rng.integers(0, 1000, 200),
+        "v": rng.random(200),
+    })
+    right_df = pd.DataFrame({
+        "k": [0, 0, 1, 1, 2, 3],
+        "since": [10, 500, 0, 900, 50, 1001],
+        "state": [1, 2, 3, 4, 5, 6],
+    })
+    left = rd.from_pandas(left_df).repartition(4)
+    right = rd.from_pandas(right_df)
+
+    a = asof_join(left, right, by="k", on="t", right_on="since",
+                  value_cols=["state"], num_buckets=4).to_pandas()
+    b = asof_join_broadcast(left, right_df, by="k", on="t",
+                            right_on="since", value_cols=["state"],
+                            concurrency=2).to_pandas()
+    key = ["k", "t", "v"]
+    a = a.sort_values(key).reset_index(drop=True)
+    b = b.sort_values(key).reset_index(drop=True)
+    assert len(a) == len(b) == 200
+    av = a["state"].astype("float64").fillna(-1).tolist()
+    bv = b["state"].astype("float64").fillna(-1).tolist()
+    assert av == bv
+    # spot-check semantics: k=4 and t<10 on k=0 have no match
+    assert a.loc[a["k"] == 4, "state"].isna().all()
+    # k=3's only change is at 1001 > any t
+    assert a.loc[a["k"] == 3, "state"].isna().all()
