@@ -820,6 +820,79 @@ def _q_lang_id(sf_dir: str):
     )
 
 
+def _q_range_join(sf_dir: str):
+    """Range (interval) join, the domain-bucketed variant: every 97th event
+    defines an interval [event_id, event_id+150) — overlapping, so events
+    can match two intervals (1->N fan-out). Oracle is DuckDB's inequality
+    join."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from etl_ray.ops.joins import range_join
+
+    left = rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                           columns=["event_id", "user_id", "value"])
+
+    def to_intervals(batch: pa.Table) -> pa.Table:
+        import numpy as np
+
+        eid = batch["event_id"].to_numpy(zero_copy_only=False)
+        keep = batch.filter(pa.array(eid % 97 == 0))
+        kid = keep["event_id"]
+        import pyarrow.compute as pc
+
+        return pa.table({
+            "interval_id": kid,
+            "lo": kid,
+            "hi": pc.add(kid, 150),
+        })
+
+    intervals = left.map_batches(to_intervals, batch_format="pyarrow")
+    out = range_join(left, intervals, on="event_id", lo_col="lo",
+                     hi_col="hi", value_cols=["interval_id"],
+                     bucket_width=256).to_pandas()
+    out = out[["event_id", "user_id", "value", "interval_id"]].copy()
+    out["interval_id"] = out["interval_id"].astype("int64")
+    return out.sort_values(["event_id", "interval_id"]).reset_index(drop=True)
+
+
+def _q_hopping_window(sf_dir: str):
+    """Hopping (sliding) event-time window: 3 h width advancing hourly;
+    replication AND (key, window) partial agg stay inside map_batches."""
+    import ray.data as rd
+
+    from etl_ray.ops.windows import hopping_window
+
+    ds = rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                         columns=["ts", "user_id", "value"])
+    out = hopping_window(ds, key_col="user_id", ts_col="ts",
+                         value_col="value", width_s=3 * 3600,
+                         step_s=3600).to_pandas()
+    out["sum_value"] = out.pop("sum_cents") / 100.0
+    return (
+        out[["user_id", "window", "n", "sum_value"]]
+        .sort_values(["user_id", "window"])
+        .reset_index(drop=True)
+    )
+
+
+def _q_cdc_lake_diff(sf_dir: str):
+    """Changelog CAPTURE: replay the events changelog one segment per
+    commit, then diff version 1 (state after the first segment) against the
+    final version — per-partition, zero-shuffle (ops/cdc_diff.py)."""
+    from etl_ray.ops.cdc_diff import lake_diff
+
+    _, lake, _ = _replay_events(sf_dir, tag="lakediff",
+                                segments_per_commit=1)
+    d = lake_diff(lake, from_version=1).to_pandas()
+    d = d.rename(columns={"sequence_number": "last_seq"})
+    return (
+        d[["doc_id", "change_op", "last_seq", "value", "event_type"]]
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+
+
 def _q_sessionize(sf_dir: str):
     import ray.data as rd
 
@@ -1013,6 +1086,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bloom_bits": _q_bloom_bits,
         "token_histogram": _q_token_histogram,
         "asof_state": _q_asof_state,
+        "range_join_events": _q_range_join,
+        "hopping_window": _q_hopping_window,
+        "cdc_lake_diff": _q_cdc_lake_diff,
         "sessionize": _q_sessionize,
         "rolling_avg": _q_rolling_avg,
         "archive_ingest": _q_archive_ingest,
@@ -1456,6 +1532,58 @@ SELECT e.event_id, e.user_id, e.value, r.state
 FROM events e ASOF LEFT JOIN r
   ON e.user_id = r.user_id AND e.event_id >= r.since
 ORDER BY e.user_id, e.event_id
+""",
+        "range_join_events": """
+WITH iv AS (
+  SELECT event_id AS interval_id, event_id AS lo, event_id + 150 AS hi
+  FROM events WHERE event_id % 97 = 0
+)
+SELECT e.event_id, e.user_id, e.value, iv.interval_id
+FROM events e JOIN iv ON e.event_id >= iv.lo AND e.event_id < iv.hi
+ORDER BY e.event_id, iv.interval_id
+""",
+        "hopping_window": """
+WITH e AS (
+  SELECT user_id, CAST(round(value * 100) AS BIGINT) AS cents,
+         CAST(floor(epoch(ts)) AS BIGINT) // 3600 AS w_last
+  FROM events
+), x AS (
+  SELECT user_id, cents,
+         UNNEST(range(w_last - 2, w_last + 1)) AS "window"
+  FROM e
+)
+SELECT user_id, "window", COUNT(*) AS n, SUM(cents) / 100.0 AS sum_value
+FROM x GROUP BY user_id, "window" ORDER BY user_id, "window"
+""",
+        "cdc_lake_diff": """
+WITH c AS (
+  SELECT CAST(user_id AS VARCHAR) AS doc_id, event_id AS seq, value,
+         event_type,
+         CASE WHEN event_type = 'error' THEN 'delete' ELSE 'insert' END
+           AS op,
+         row_number() OVER (ORDER BY event_id) AS rnk
+  FROM events
+), s1 AS (
+  SELECT doc_id, seq FROM (
+    SELECT doc_id, seq, op,
+           row_number() OVER (PARTITION BY doc_id ORDER BY seq DESC) rn
+    FROM c WHERE rnk <= 4000)
+  WHERE rn = 1 AND op <> 'delete'
+), s2 AS (
+  SELECT doc_id, seq, value, event_type FROM (
+    SELECT doc_id, seq, value, event_type, op,
+           row_number() OVER (PARTITION BY doc_id ORDER BY seq DESC) rn
+    FROM c)
+  WHERE rn = 1 AND op <> 'delete'
+)
+SELECT COALESCE(s2.doc_id, s1.doc_id) AS doc_id,
+       CASE WHEN s1.doc_id IS NULL THEN 'insert'
+            WHEN s2.doc_id IS NULL THEN 'delete'
+            ELSE 'update' END AS change_op,
+       s2.seq AS last_seq, s2.value, s2.event_type
+FROM s1 FULL JOIN s2 ON s1.doc_id = s2.doc_id
+WHERE s1.doc_id IS NULL OR s2.doc_id IS NULL OR s1.seq <> s2.seq
+ORDER BY doc_id
 """,
         "token_histogram": r"""
 WITH toks AS (

@@ -74,6 +74,18 @@ def broadcast_join(ds, lookup: pd.DataFrame, *, left_on: str, right_on: str,
     )
 
 
+def _pa_schema(ds) -> pa.Schema:
+    """Arrow schema of a Dataset whose base schema may be a PandasBlockSchema
+    (parallel .names / .types numpy dtypes) instead of a pa.Schema."""
+    base = ds.schema().base_schema
+    if isinstance(base, pa.Schema):
+        return base
+    return pa.schema([
+        (n, pa.from_numpy_dtype(np.dtype(t)))
+        for n, t in zip(base.names, base.types)
+    ])
+
+
 # ------------------------------------------------------------- as-of joins
 class BroadcastAsof:
     """Stateful map_batches stage for the small-right-side AS-OF join:
@@ -150,14 +162,7 @@ def asof_join(left, right, *, by: str, on: str, right_on: str,
         cpus = int(ray.cluster_resources().get("CPU", 4))
         num_buckets = max(4, cpus)
 
-    base = left.schema().base_schema
-    if isinstance(base, pa.Schema):
-        lschema = base
-    else:  # PandasBlockSchema: parallel .names / .types (numpy dtypes)
-        lschema = pa.schema([
-            (n, pa.from_numpy_dtype(np.dtype(t)))
-            for n, t in zip(base.names, base.types)
-        ])
+    lschema = _pa_schema(left)
     left_cols = list(lschema.names)
     all_cols = left_cols + [c for c in [right_on] + value_cols
                             if c not in left_cols]
@@ -198,6 +203,177 @@ def asof_join(left, right, *, by: str, on: str, right_on: str,
         merged = pd.merge_asof(lf, rf, left_on=on, right_on=right_on,
                                by=by, direction="backward")
         return merged.drop(columns=[right_on])
+
+    return both.groupby("__bucket").map_groups(
+        per_bucket, batch_format="pandas")
+
+
+# ----------------------------------------------------------- range joins
+def _overlap_emit(t_sorted: np.ndarray, lo: np.ndarray, hi: np.ndarray):
+    """Vectorized interval overlap against a SORTED point array: returns
+    (point_pos, interval_idx) index pairs for every t in [lo, hi). Work is
+    O(n_int * log n_pts + output) — no per-interval Python loop for the
+    match expansion (np.repeat run construction)."""
+    starts = np.searchsorted(t_sorted, lo, side="left")
+    ends = np.searchsorted(t_sorted, hi, side="left")
+    counts = ends - starts
+    total = int(counts.sum())
+    if total == 0:
+        return (np.empty(0, np.int64), np.empty(0, np.int64))
+    iv = np.repeat(np.arange(len(lo), dtype=np.int64), counts)
+    run_off = np.repeat(np.cumsum(counts) - counts, counts)
+    pos = np.repeat(starts, counts) + (np.arange(total) - run_off)
+    return pos, iv
+
+
+class BroadcastRangeJoin:
+    """Stateful map_batches stage for the small-intervals range join: each
+    left row matches EVERY interval with lo <= t < hi (1->N fan-out).
+    Intervals are fetched/prepared once per worker; each batch sorts its
+    point column once and does two searchsorted passes per batch — zero
+    shuffle."""
+
+    def __init__(self, intervals_ref, on: str, lo_col: str, hi_col: str,
+                 value_cols: List[str]):
+        import ray
+
+        iv = ray.get(intervals_ref) if not isinstance(
+            intervals_ref, pd.DataFrame) else intervals_ref
+        self.on = on
+        self.lo = iv[lo_col].to_numpy()
+        self.hi = iv[hi_col].to_numpy()
+        self.vals = {c: iv[c].to_numpy() for c in value_cols}
+        self.value_cols = value_cols
+
+    def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+        order = np.argsort(df[self.on].to_numpy(), kind="stable")
+        t_sorted = df[self.on].to_numpy()[order]
+        pos, iv = _overlap_emit(t_sorted, self.lo, self.hi)
+        out = df.iloc[order[pos]].reset_index(drop=True)
+        for c in self.value_cols:
+            out[c] = self.vals[c][iv]
+        return out
+
+
+def range_join_broadcast(left, intervals: pd.DataFrame, *, on: str,
+                         lo_col: str, hi_col: str, value_cols: List[str],
+                         concurrency: int = 4):
+    """Range (interval) join with a broadcast interval side (`ray.put`
+    once, prepared once per worker). Inner join: left rows matching no
+    interval are dropped; rows matching k intervals emit k times."""
+    import ray
+
+    ref = ray.put(intervals)
+    return left.map_batches(
+        BroadcastRangeJoin,
+        fn_constructor_args=(ref, on, lo_col, hi_col, value_cols),
+        batch_format="pandas",
+        concurrency=concurrency,
+        num_cpus=1,
+    )
+
+
+def range_join(left, intervals, *, on: str, lo_col: str, hi_col: str,
+               value_cols: List[str], bucket_width: Optional[int] = None,
+               num_buckets_hint: int = 64):
+    """Scalable range join: the DOMAIN of ``on`` is cut into fixed-width
+    buckets; left rows land in one bucket, each interval is replicated to
+    every bucket it overlaps, then each bucket does the vectorized
+    sorted-points overlap. ONE shuffle, bounded group count.
+
+    Partitioning assumptions (document per call site): interval span /
+    bucket_width is bounded (replication factor), and one bucket's rows fit
+    a worker. Skewed domains want a smaller bucket_width on the hot range.
+    """
+    import ray
+
+    if isinstance(intervals, pd.DataFrame):
+        import ray.data as rd
+
+        intervals = rd.from_pandas(intervals)
+
+    if bucket_width is None:
+        # scout min/max cheaply from the interval side (small by construction)
+        bounds = intervals.map_batches(
+            lambda df: pd.DataFrame({"lo": [df[lo_col].min()],
+                                     "hi": [df[hi_col].max()]}),
+            batch_format="pandas").to_pandas()
+        span = float(bounds["hi"].max() - bounds["lo"].min())
+        bucket_width = max(1, int(np.ceil(span / num_buckets_hint)))
+
+    bw = int(bucket_width)
+    int_cols = [lo_col, hi_col] + value_cols
+
+    def tag_left(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["__side"] = np.int64(0)
+        df["__bucket"] = (df[on].to_numpy().astype(np.int64) // bw)
+        for c in int_cols:
+            if c not in df.columns:
+                df[c] = np.nan
+        return df
+
+    def explode_intervals(df: pd.DataFrame) -> pd.DataFrame:
+        lo = df[lo_col].to_numpy().astype(np.int64)
+        hi = df[hi_col].to_numpy().astype(np.int64)
+        b0 = lo // bw
+        b1 = np.maximum(hi - 1, lo) // bw
+        counts = (b1 - b0 + 1).astype(np.int64)
+        idx = np.repeat(np.arange(len(df)), counts)
+        run_off = np.repeat(np.cumsum(counts) - counts, counts)
+        buckets = np.repeat(b0, counts) + (np.arange(counts.sum()) - run_off)
+        out = df.iloc[idx].reset_index(drop=True)
+        out["__side"] = np.int64(1)
+        out["__bucket"] = buckets
+        return out
+
+    lschema = _pa_schema(left)
+    left_cols = list(lschema.names)
+    all_cols = left_cols + [c for c in int_cols if c not in left_cols] \
+        + ["__side", "__bucket"]
+    # NaN-padding the union upcasts ints to float; remember the left-side
+    # dtypes so per_bucket can restore them after the side split
+    left_dtypes = {f.name: f.type.to_pandas_dtype() for f in lschema
+                   if pa.types.is_integer(f.type)
+                   or pa.types.is_floating(f.type)}
+
+    def pad(df: pd.DataFrame) -> pd.DataFrame:
+        for c in all_cols:
+            if c not in df.columns:
+                df[c] = np.nan
+        return df[all_cols]
+
+    lt = left.map_batches(lambda d: pad(tag_left(d)), batch_format="pandas")
+    it = intervals.map_batches(lambda d: pad(explode_intervals(d)),
+                               batch_format="pandas")
+    both = lt.union(it)
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        lf = g[g["__side"] == 0].copy()
+        for c, dt in left_dtypes.items():
+            lf[c] = lf[c].astype(dt)
+        ivf = g[g["__side"] == 1]
+        if not len(lf) or not len(ivf):
+            return pd.DataFrame({
+                c: pd.Series(dtype=left_dtypes.get(c, g[c].dtype))
+                for c in all_cols if c not in ("__side", "__bucket")
+            })
+        t = lf[on].to_numpy()
+        order = np.argsort(t, kind="stable")
+        t_sorted = t[order]
+        bucket = int(g["__bucket"].iloc[0])
+        # clip each interval to this bucket so a replicated interval never
+        # double-emits a (row, interval) pair across buckets
+        lo = np.maximum(ivf[lo_col].to_numpy(), bucket * bw)
+        hi = np.minimum(ivf[hi_col].to_numpy(), (bucket + 1) * bw)
+        pos, iv = _overlap_emit(t_sorted, lo, hi)
+        out = lf.iloc[order[pos]].reset_index(drop=True)
+        ivf = ivf.reset_index(drop=True)
+        for c in value_cols:
+            out[c] = ivf[c].to_numpy()[iv]
+        for c in [lo_col, hi_col]:
+            out[c] = ivf[c].to_numpy()[iv]
+        return out.drop(columns=["__side", "__bucket"])
 
     return both.groupby("__bucket").map_groups(
         per_bucket, batch_format="pandas")

@@ -98,3 +98,50 @@ def tumbling_window(ds, *, key_col: str = "user_id", ts_col: str = "ts",
                    Sum("sum_cents", alias_name="sum_cents"))
     )
     return out
+
+
+def hopping_window(ds, *, key_col: str = "user_id", ts_col: str = "ts",
+                   value_col: str = "value", width_s: int = 3 * 3600,
+                   step_s: int = 3600):
+    """Hopping (sliding) event-time window: width ``width_s``, advancing by
+    ``step_s`` (width must be a multiple of step). Window ``w`` covers
+    ``[w*step, w*step + width)``; every event lands in ``width/step``
+    windows.
+
+    Scale shape: the 1->N replication AND a (key, window) partial aggregate
+    happen inside map_batches, so the shuffle moves at most one row per
+    (key, window) per batch — never the replicated events. Output rows:
+    key, window (epoch-seconds // step id), n, sum_value.
+    """
+    from ray.data.aggregate import Sum
+
+    if width_s % step_s:
+        raise ValueError("width_s must be a multiple of step_s")
+    n_win = width_s // step_s
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        n = len(df)
+        if not n:
+            return pd.DataFrame({key_col: pd.Series(dtype=np.int64),
+                                 "window": pd.Series(dtype=np.int64),
+                                 "n": pd.Series(dtype=np.int64),
+                                 "sum_cents": pd.Series(dtype=np.int64)})
+        # unit-safe floor to epoch seconds (parquet ts may be us or ns)
+        epoch = df[ts_col].to_numpy().astype("datetime64[s]").astype(np.int64)
+        w_last = epoch // step_s
+        # replicate: windows w_last-j for j in [0, n_win); all satisfy
+        # t in [w*step, w*step+width) since t - w*step < (j+1)*step <= width
+        wins = (w_last[:, None] - np.arange(n_win)[None, :]).ravel()
+        keys = np.repeat(df[key_col].to_numpy(), n_win)
+        cents = np.repeat(
+            np.round(df[value_col].to_numpy() * 100).astype(np.int64), n_win)
+        local = pd.DataFrame({key_col: keys, "window": wins, "cents": cents})
+        return local.groupby([key_col, "window"], as_index=False).agg(
+            n=("cents", "size"), sum_cents=("cents", "sum"))
+
+    return (
+        ds.map_batches(partial, batch_format="pandas")
+        .groupby([key_col, "window"])
+        .aggregate(Sum("n", alias_name="n"),
+                   Sum("sum_cents", alias_name="sum_cents"))
+    )

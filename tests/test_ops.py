@@ -213,3 +213,75 @@ def test_asof_join_broadcast_matches_shuffle():
     assert a.loc[a["k"] == 4, "state"].isna().all()
     # k=3's only change is at 1001 > any t
     assert a.loc[a["k"] == 3, "state"].isna().all()
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_range_join_variants_agree():
+    """Broadcast vs domain-bucketed range join: identical (row, interval)
+    pair sets, incl. 1->N fan-out and intervals spanning bucket borders."""
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from etl_ray.ops.joins import range_join, range_join_broadcast
+
+    rng = np.random.default_rng(7)
+    left_df = pd.DataFrame({
+        "t": rng.integers(0, 1000, 300),
+        "v": rng.random(300),
+    })
+    iv = pd.DataFrame({
+        "lo": [0, 90, 100, 500, 995, 2000],
+        "hi": [50, 210, 120, 980, 1000, 2100],  # overlapping + empty
+        "label": [1, 2, 3, 4, 5, 6],
+    })
+    left = rd.from_pandas(left_df).repartition(4)
+
+    a = range_join(left, iv, on="t", lo_col="lo", hi_col="hi",
+                   value_cols=["label"], bucket_width=100).to_pandas()
+    b = range_join_broadcast(left, iv, on="t", lo_col="lo", hi_col="hi",
+                             value_cols=["label"], concurrency=2).to_pandas()
+    ka = sorted(zip(a["t"], np.round(a["v"], 9), a["label"]))
+    kb = sorted(zip(b["t"], np.round(b["v"], 9), b["label"]))
+    assert ka == kb and len(ka) > 0
+    # exact oracle in pure pandas
+    exp = left_df.merge(iv, how="cross")
+    exp = exp[(exp["t"] >= exp["lo"]) & (exp["t"] < exp["hi"])]
+    assert len(ka) == len(exp)
+    assert (a["label"] != 6).all()  # empty interval matched nothing
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_hopping_window_membership():
+    """Each event lands in exactly width/step windows; totals match an
+    explicit per-event expansion."""
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from etl_ray.ops.windows import hopping_window
+
+    rng = np.random.default_rng(3)
+    n = 400
+    df = pd.DataFrame({
+        "user_id": rng.integers(0, 7, n),
+        "ts": pd.to_datetime(rng.integers(0, 3 * 86400, n), unit="s"),
+        "value": np.round(rng.random(n), 2),
+    })
+    out = hopping_window(rd.from_pandas(df).repartition(4),
+                         width_s=3 * 3600, step_s=3600).to_pandas()
+    # explicit oracle
+    rows = []
+    for r in df.itertuples(index=False):
+        w_last = int(r.ts.timestamp()) // 3600
+        for w in range(w_last - 2, w_last + 1):
+            rows.append((r.user_id, w, round(r.value * 100)))
+    exp = (pd.DataFrame(rows, columns=["user_id", "window", "cents"])
+           .groupby(["user_id", "window"], as_index=False)
+           .agg(n=("cents", "size"), sum_cents=("cents", "sum")))
+    got = out.sort_values(["user_id", "window"]).reset_index(drop=True)
+    exp = exp.sort_values(["user_id", "window"]).reset_index(drop=True)
+    assert got["n"].sum() == 3 * n
+    pd.testing.assert_frame_equal(
+        got[["user_id", "window", "n", "sum_cents"]].astype("int64"),
+        exp.astype("int64"))
