@@ -893,6 +893,66 @@ def _q_cdc_lake_diff(sf_dir: str):
     )
 
 
+def _q_chunk_sequences(sf_dir: str):
+    """Long-document sliding-window chunking (max_len=128, overlap=32):
+    batch-local 1->N vectorized gather, zero shuffle."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from etl_ray.ops.packing import TokenizeDocs, chunk_sequences
+
+    ds = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                         columns=["doc_id", "text"])
+    toks = ds.map_batches(TokenizeDocs(), batch_format="pyarrow")
+    out = chunk_sequences(toks, max_len=128, overlap=32)
+
+    def to_csv(batch: pa.Table) -> pa.Table:
+        # compare-friendly csv (list columns hash awkwardly driver-side);
+        # test-scale convenience, not a hot path
+        csv = [",".join(map(str, t)) for t in batch["tokens"].to_pylist()]
+        return batch.drop_columns(["tokens"]).append_column(
+            "tokens_csv", pa.array(csv, pa.string()))
+
+    df = out.map_batches(to_csv, batch_format="pyarrow").to_pandas()
+    return df.sort_values(["doc_id", "chunk_idx"]).reset_index(drop=True)
+
+
+def _q_stratified_sample(sf_dir: str):
+    """Deterministic per-stratum hash sampling (source-mix rebalancing);
+    the selection predicate is reproduced verbatim in the SQL oracle."""
+    import ray.data as rd
+
+    from etl_ray.ops.sampling import stratified_sample
+
+    ds = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                         columns=["doc_id", "lang", "source"])
+    out = stratified_sample(
+        ds, key_col="doc_id", stratum_col="lang",
+        rates={"en": 0.25, "zh": 0.75, "de": 0.5}, default_rate=1.0,
+    ).to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+def _q_top_events_per_user(sf_dir: str):
+    """Per-key top-k (k=3 by value, deterministic event_id tie-break):
+    batch-local partial top-k, then coarse-bucket resolution — the shuffle
+    moves <= k rows per (key, batch)."""
+    import ray.data as rd
+
+    from etl_ray.ops.ranking import top_k_per_key
+
+    ds = rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                         columns=["event_id", "user_id", "value"])
+    out = top_k_per_key(ds, key_col="user_id", value_col="value",
+                        order_col="event_id", k=3).to_pandas()
+    out["rank"] = out["rank"].astype("int64")
+    return (
+        out[["user_id", "rank", "event_id", "value"]]
+        .sort_values(["user_id", "rank"])
+        .reset_index(drop=True)
+    )
+
+
 def _q_sessionize(sf_dir: str):
     import ray.data as rd
 
@@ -1089,6 +1149,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "range_join_events": _q_range_join,
         "hopping_window": _q_hopping_window,
         "cdc_lake_diff": _q_cdc_lake_diff,
+        "chunk_sequences": _q_chunk_sequences,
+        "stratified_sample": _q_stratified_sample,
+        "top_events_per_user": _q_top_events_per_user,
         "sessionize": _q_sessionize,
         "rolling_avg": _q_rolling_avg,
         "archive_ingest": _q_archive_ingest,
@@ -1532,6 +1595,45 @@ SELECT e.event_id, e.user_id, e.value, r.state
 FROM events e ASOF LEFT JOIN r
   ON e.user_id = r.user_id AND e.event_id >= r.since
 ORDER BY e.user_id, e.event_id
+""",
+        "chunk_sequences": f"""
+WITH toks AS (
+  SELECT doc_id,
+         list_transform(regexp_extract_all(text, '{_BPE_PAT}'),
+                        x -> length(x)) AS tk
+  FROM documents
+), base AS (
+  SELECT doc_id, tk, len(tk) AS n,
+         CASE WHEN len(tk) <= 128 THEN 1
+              ELSE CAST(ceil((len(tk) - 128) / 96.0) AS BIGINT) + 1
+         END AS n_chunks
+  FROM toks
+), ch AS (
+  SELECT doc_id, tk, n, UNNEST(range(0, n_chunks)) AS chunk_idx FROM base
+)
+SELECT doc_id, chunk_idx,
+       least(chunk_idx * 96 + 128, n) - chunk_idx * 96 AS n_tok,
+       array_to_string(
+         list_transform(tk[chunk_idx * 96 + 1 :
+                           least(chunk_idx * 96 + 128, n)],
+                        x -> CAST(x AS VARCHAR)), ',') AS tokens_csv
+FROM ch ORDER BY doc_id, chunk_idx
+""",
+        "stratified_sample": f"""
+SELECT doc_id, lang, source FROM documents
+WHERE ({_md5le64_sql('CAST(doc_id AS VARCHAR)')}) % 65536 <
+      CASE lang WHEN 'en' THEN 16384 WHEN 'zh' THEN 49152
+                WHEN 'de' THEN 32768 ELSE 65536 END
+ORDER BY doc_id
+""",
+        "top_events_per_user": """
+SELECT user_id,
+       row_number() OVER (PARTITION BY user_id
+                          ORDER BY value DESC, event_id) - 1 AS rank,
+       event_id, value
+FROM events
+QUALIFY rank < 3
+ORDER BY user_id, rank
 """,
         "range_join_events": """
 WITH iv AS (

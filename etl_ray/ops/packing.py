@@ -106,3 +106,57 @@ def pack_documents(ds, *, seq_len: int = 2048, bucket_size: int = 1024,
                          batch_format="pyarrow")
     return pack_sequences(tok, seq_len=seq_len, bucket_size=bucket_size,
                           id_col=id_col, eos_token=eos_token)
+
+
+def chunk_sequences(ds, *, max_len: int = 128, overlap: int = 32,
+                    id_col: str = "doc_id", tokens_col: str = "tokens"):
+    """The dual of packing: split each document's token array into
+    sliding windows of ``max_len`` tokens advancing by ``max_len -
+    overlap`` (context-overlap chunking for long-document pretraining).
+
+    Chunk k of a doc covers tokens [k*stride, k*stride + max_len); a doc
+    emits ceil((n - max_len)/stride) + 1 chunks (one if n <= max_len; the
+    last may be short). NO shuffle at all — the 1->N expansion is a
+    batch-local vectorized gather (run-construction indices, no per-doc
+    Python loop), so this streams at read speed.
+
+    Output: (doc_id, chunk_idx, n_tok, tokens list<int32>).
+    """
+    if not 0 <= overlap < max_len:
+        raise ValueError("need 0 <= overlap < max_len")
+    stride = max_len - overlap
+
+    def per_batch(batch: pa.Table) -> pa.Table:
+        col = batch[tokens_col].combine_chunks()
+        offsets = col.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+        flat = col.values.to_numpy(zero_copy_only=False)
+        n = np.diff(offsets)
+        n_chunks = np.where(
+            n <= max_len, 1, (n - max_len + stride - 1) // stride + 1
+        ).astype(np.int64)
+        total_chunks = int(n_chunks.sum())
+        doc_idx = np.repeat(np.arange(len(n)), n_chunks)
+        run_off = np.repeat(np.cumsum(n_chunks) - n_chunks, n_chunks)
+        k = np.arange(total_chunks, dtype=np.int64) - run_off
+        starts = k * stride
+        lens = np.minimum(starts + max_len, n[doc_idx]) - starts
+        # gather the (overlapping) windows into a fresh flat buffer
+        total_tok = int(lens.sum())
+        tok_run_off = np.repeat(np.cumsum(lens) - lens, lens)
+        gather = (np.repeat(offsets[:-1][doc_idx] + starts, lens)
+                  + (np.arange(total_tok, dtype=np.int64) - tok_run_off))
+        new_flat = flat[gather] if total_tok else flat[:0]
+        new_off = np.zeros(total_chunks + 1, dtype=np.int64)
+        np.cumsum(lens, out=new_off[1:])
+        toks = pa.ListArray.from_arrays(
+            pa.array(new_off, pa.int32()),
+            pa.array(new_flat, pa.int32()),
+        )
+        return pa.table({
+            id_col: batch[id_col].take(pa.array(doc_idx)),
+            "chunk_idx": pa.array(k),
+            "n_tok": pa.array(lens),
+            "tokens": toks,
+        })
+
+    return ds.map_batches(per_batch, batch_format="pyarrow")

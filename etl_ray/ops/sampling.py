@@ -1,0 +1,91 @@
+"""Deterministic sampling for training-data mixing.
+
+Sampling at 100 TB must be (a) a pure per-row predicate — no global state,
+no RNG stream that depends on partitioning or visit order — and (b)
+reproducible, so a re-run (or the correctness oracle) selects the SAME
+rows. Both come from hashing a stable row key: keep a row iff
+``md5le64(key) % denom < num``. That is exactly the reference's
+task-sampling shape (archive skip-count sampling,
+/root/reference/storage/storage.go fileListerFunc analog in
+sources/archive.py:46-61) lifted from files to rows, and it is
+SQL-reproducible via the same md5 fold the sketch oracles use.
+
+Stratified variant: a per-stratum rate table (small, broadcast inside the
+stage instance) — the standard way to rebalance a source mix.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Tuple
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from etl_ray.ops.dedup import md5le64
+
+DENOM = 1 << 16
+
+
+def _keep_mask(keys: np.ndarray, num: np.ndarray) -> np.ndarray:
+    """keys: string array; num: per-row numerator against DENOM."""
+    h = md5le64(keys.astype(str)) % np.uint64(DENOM)
+    return h.astype(np.int64) < num
+
+
+def hash_sample(ds, *, key_col: str, rate: float, seed: str = ""):
+    """Uniform deterministic sample: keep ~``rate`` of rows, selected by
+    key hash (stable across runs/partitionings). ``seed`` perturbs the
+    hash domain so independent samples don't nest."""
+    num = int(round(rate * DENOM))
+
+    def f(batch: pa.Table) -> pa.Table:
+        keys = batch[key_col].to_numpy(zero_copy_only=False).astype(str)
+        if seed:
+            keys = np.char.add(keys, seed)
+        mask = _keep_mask(keys, np.int64(num))
+        return batch.filter(pa.array(mask))
+
+    return ds.map_batches(f, batch_format="pyarrow")
+
+
+def stratified_sample(ds, *, key_col: str, stratum_col: str,
+                      rates: Dict[str, float], default_rate: float = 0.0,
+                      seed: str = ""):
+    """Per-stratum deterministic sampling (source-mix rebalancing): each
+    stratum keeps its own fraction. The rate table is tiny and ships inside
+    the stage; rows of unlisted strata keep ``default_rate``."""
+    nums = {k: int(round(v * DENOM)) for k, v in rates.items()}
+    dflt = int(round(default_rate * DENOM))
+
+    def f(batch: pa.Table) -> pa.Table:
+        keys = batch[key_col].to_numpy(zero_copy_only=False).astype(str)
+        if seed:
+            keys = np.char.add(keys, seed)
+        strata = batch[stratum_col].to_numpy(zero_copy_only=False)
+        num = pd.Series(strata).map(nums).fillna(dflt).to_numpy(np.int64)
+        mask = _keep_mask(keys, num)
+        return batch.filter(pa.array(mask))
+
+    return ds.map_batches(f, batch_format="pyarrow")
+
+
+def split_train_holdout(ds, *, key_col: str, holdout_rate: float,
+                        seed: str = "") -> Tuple:
+    """Deterministic disjoint train/holdout split by key hash: the SAME
+    key always lands on the same side (leakage-safe across reruns and
+    across derived datasets keyed the same way)."""
+    num = int(round(holdout_rate * DENOM))
+
+    def side(want_holdout: bool):
+        def f(batch: pa.Table) -> pa.Table:
+            keys = batch[key_col].to_numpy(zero_copy_only=False).astype(str)
+            if seed:
+                keys = np.char.add(keys, seed)
+            mask = _keep_mask(keys, np.int64(num))
+            return batch.filter(pa.array(mask if want_holdout else ~mask))
+
+        return f
+
+    return (ds.map_batches(side(False), batch_format="pyarrow"),
+            ds.map_batches(side(True), batch_format="pyarrow"))
