@@ -893,6 +893,28 @@ def _q_cdc_lake_diff(sf_dir: str):
     )
 
 
+def _q_cdc_ivm_view(sf_dir: str):
+    """Incremental view maintenance: build a grouped (count, exact
+    scaled-cents sum) view at lake version 1, then advance it to the head
+    purely from lake_diff change deltas — O(changed docs) per refresh, not
+    O(table) (ops/ivm.py). The returned view must equal a direct groupby
+    over the final state, which is what the oracle computes."""
+    from etl_ray.ops.ivm import ViewSpec, build_view, refresh_view
+
+    _, lake, _ = _replay_events(sf_dir, tag="ivm", segments_per_commit=1)
+    spec = ViewSpec(name="by_event_type", group_col="event_type",
+                    sum_cols=(("sum_cents", "value", 100),))
+    build_view(lake, spec, version=1)
+    out = refresh_view(lake, spec)
+    out["n_docs"] = out["n_docs"].astype("int64")
+    out["sum_cents"] = out["sum_cents"].astype("int64")
+    return (
+        out[["event_type", "n_docs", "sum_cents"]]
+        .sort_values("event_type")
+        .reset_index(drop=True)
+    )
+
+
 def _q_chunk_sequences(sf_dir: str):
     """Long-document sliding-window chunking (max_len=128, overlap=32):
     batch-local 1->N vectorized gather, zero shuffle."""
@@ -1149,6 +1171,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "range_join_events": _q_range_join,
         "hopping_window": _q_hopping_window,
         "cdc_lake_diff": _q_cdc_lake_diff,
+        "cdc_ivm_view": _q_cdc_ivm_view,
         "chunk_sequences": _q_chunk_sequences,
         "stratified_sample": _q_stratified_sample,
         "top_events_per_user": _q_top_events_per_user,
@@ -1686,6 +1709,23 @@ SELECT COALESCE(s2.doc_id, s1.doc_id) AS doc_id,
 FROM s1 FULL JOIN s2 ON s1.doc_id = s2.doc_id
 WHERE s1.doc_id IS NULL OR s2.doc_id IS NULL OR s1.seq <> s2.seq
 ORDER BY doc_id
+""",
+        "cdc_ivm_view": """
+WITH c AS (
+  SELECT CAST(user_id AS VARCHAR) AS doc_id, event_id AS seq, value,
+         event_type,
+         CASE WHEN event_type = 'error' THEN 'delete' ELSE 'insert' END AS op
+  FROM events
+), r AS (
+  SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY seq DESC) rn
+  FROM c
+), s AS (
+  SELECT doc_id, value, event_type FROM r WHERE rn = 1 AND op <> 'delete'
+)
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_cents
+FROM s GROUP BY event_type ORDER BY event_type
 """,
         "token_histogram": r"""
 WITH toks AS (

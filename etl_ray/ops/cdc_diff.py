@@ -37,12 +37,16 @@ class DiffPartition:
     rows. State (schemas) is built once per worker."""
 
     def __init__(self, lake_dir: str, schema_hex_from: str,
-                 schema_hex_to: str):
+                 schema_hex_to: str, include_old=()):
         from etl_ray.schema import schema_from_hex
 
         self.lake_dir = lake_dir
         self.schema_from = schema_from_hex(schema_hex_from)
         self.schema_to = schema_from_hex(schema_hex_to)
+        self.include_old = [
+            c for c in include_old
+            if c in {f.name for f in self.schema_from}
+        ]
         self.payload_cols = [
             f.name for f in self.schema_to
             if f.name not in _CONTROL + ("doc_id", "sequence_number")
@@ -58,6 +62,11 @@ class DiffPartition:
             if pa.types.is_integer(t):
                 t = pa.float64()
             fields.append((c, t))
+        for c in self.include_old:
+            t = self.schema_from.field(c).type
+            if pa.types.is_integer(t):
+                t = pa.float64()
+            fields.append((f"old_{c}", t))
         self.out_fields = fields
 
     def _to_arrow(self, out: pd.DataFrame) -> pa.Table:
@@ -85,8 +94,11 @@ class DiffPartition:
         for row in batch.to_pylist():
             a = self._state(row["files_from"], self.schema_from).to_pandas()
             b = self._state(row["files_to"], self.schema_to).to_pandas()
-            am = a[["doc_id", "sequence_number"]].rename(
-                columns={"sequence_number": "__seq_from"})
+            am = a[["doc_id", "sequence_number"] + self.include_old]
+            am = am.rename(columns={
+                "sequence_number": "__seq_from",
+                **{c: f"old_{c}" for c in self.include_old},
+            })
             j = b.merge(am, on="doc_id", how="left")
             seq_a = j["__seq_from"].to_numpy()
             is_new = np.isnan(seq_a)
@@ -99,15 +111,19 @@ class DiffPartition:
                                 .astype("float64")})
             for c in self.payload_cols:
                 out[c] = keep[c] if c in keep.columns else None
-            deleted = a.loc[
-                ~a["doc_id"].isin(b["doc_id"]), "doc_id"
-            ].sort_values()
-            if len(deleted):
+            for c in self.include_old:
+                # null for inserts (left-join miss), the v_from value for
+                # updates — the IVM consumer retracts the old contribution
+                out[f"old_{c}"] = keep[f"old_{c}"]
+            adel = a[~a["doc_id"].isin(b["doc_id"])].sort_values("doc_id")
+            if len(adel):
                 dels = pd.DataFrame({
-                    "doc_id": deleted.to_numpy(),
+                    "doc_id": adel["doc_id"].to_numpy(),
                     "change_op": "delete",
                     "sequence_number": np.nan,
                 })
+                for c in self.include_old:
+                    dels[f"old_{c}"] = adel[c].to_numpy()
                 dels = dels.reindex(columns=out.columns)  # NaN payload
                 out = pd.concat([out, dels], ignore_index=True)
             outs.append(self._to_arrow(out))
@@ -118,7 +134,7 @@ class DiffPartition:
 
 
 def lake_diff(lake_dir: str, *, from_version: int,
-              to_version: Optional[int] = None):
+              to_version: Optional[int] = None, include_old=()):
     """Change-event stream between two committed versions of a lake, as a
     ``ray.data.Dataset`` with columns (doc_id, change_op, sequence_number,
     <payload...>). ``sequence_number`` is the winning seq at ``to_version``
@@ -145,7 +161,8 @@ def lake_diff(lake_dir: str, *, from_version: int,
             "sequence_number": pa.array([], pa.float64()),
         }))
     return descriptor_dataset(descs).map_batches(
-        DiffPartition(lake_dir, m_from.schema_hex, m_to.schema_hex),
+        DiffPartition(lake_dir, m_from.schema_hex, m_to.schema_hex,
+                      include_old=include_old),
         batch_format="pyarrow",
         batch_size=1,
     )
