@@ -130,9 +130,11 @@ def _sql_dedup_minhash() -> str:
     return f"WITH {_minhash_cte()} SELECT id_a, id_b FROM cand ORDER BY 1, 2"
 
 
-def _sql_dedup_ngram_jaccard(threshold: float = 0.3) -> str:
-    return f"""
-WITH {_minhash_cte()},
+def _scored_pairs_ctes(threshold: float = 0.3) -> str:
+    """CTE chain: minhash candidates → exact n-gram Jaccard score →
+    ``vpairs`` (verified pairs at ``threshold``). Shared by the
+    ngram-jaccard and dup-cluster oracles."""
+    return f"""{_minhash_cte()},
 shd AS (SELECT DISTINCT doc_id, s FROM sh),
 sizes AS (SELECT doc_id, count(*) AS c FROM shd GROUP BY doc_id),
 inter AS (
@@ -153,9 +155,33 @@ scored AS (
   FROM cand p
   WHERE p.id_a NOT IN (SELECT doc_id FROM sizes)
     AND p.id_b NOT IN (SELECT doc_id FROM sizes)
-)
-SELECT id_a, id_b, jaccard FROM scored WHERE jaccard >= {threshold}
-ORDER BY id_a, id_b
+),
+vpairs AS (SELECT id_a, id_b, jaccard FROM scored WHERE jaccard >= {threshold})"""
+
+
+def _sql_dedup_ngram_jaccard(threshold: float = 0.3) -> str:
+    return f"""
+WITH {_scored_pairs_ctes(threshold)}
+SELECT id_a, id_b, jaccard FROM vpairs ORDER BY id_a, id_b
+"""
+
+
+def _sql_dedup_clusters(threshold: float = 0.3) -> str:
+    """Connected components over the verified near-dup pairs: DuckDB
+    recursive transitive closure over the symmetric edge set; component
+    id = min doc_id reachable (matches the engine's hash-to-min)."""
+    return f"""
+WITH RECURSIVE {_scored_pairs_ctes(threshold)},
+edges AS (SELECT id_a AS a, id_b AS b FROM vpairs
+          UNION SELECT id_b, id_a FROM vpairs),
+reach(node, lab) AS (
+  SELECT a, a FROM edges
+  UNION
+  SELECT e.a, r.lab FROM edges e JOIN reach r ON r.node = e.b
+),
+comp AS (SELECT node, min(lab) AS component FROM reach GROUP BY node)
+SELECT node AS doc_id, component, (node = component) AS keep
+FROM comp ORDER BY doc_id
 """
 
 
@@ -545,6 +571,23 @@ def _q_dedup_ngram_jaccard(sf_dir: str):
     out = minhash_near_dups(ds, threshold=0.3, concurrency=2)
     out["jaccard"] = out["jaccard"].round(4)
     return out
+
+
+def _q_dedup_clusters(sf_dir: str):
+    """Near-dup pairs → connected components → canonical keep list
+    (the dedup finisher: transitive closure via distributed hash-to-min
+    label propagation, etl_ray/ops/components.py)."""
+    import ray.data as rd
+
+    from etl_ray.ops.components import dup_clusters
+    from etl_ray.ops.dedup import minhash_lsh_candidates, verify_candidates
+
+    ds = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                         columns=["doc_id", "text"])
+    cand = minhash_lsh_candidates(ds, concurrency=2)
+    pairs = verify_candidates(ds, cand, threshold=0.3)
+    out = dup_clusters(pairs).to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
 
 
 def _q_dedup_simhash(sf_dir: str):
@@ -1157,6 +1200,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_exact": _q_dedup_exact,
         "dedup_minhash_lsh": _q_dedup_minhash,
         "dedup_ngram_jaccard": _q_dedup_ngram_jaccard,
+        "dedup_clusters": _q_dedup_clusters,
         "dedup_simhash": _q_dedup_simhash,
         "dedup_embedding_cosine": _q_dedup_embedding,
         "dedup_lsh_embedding": _q_dedup_lsh_embedding,
@@ -1737,6 +1781,7 @@ FROM toks WHERE token <> '' GROUP BY token ORDER BY token
 """,
         "dedup_minhash_lsh": _sql_dedup_minhash(),
         "dedup_ngram_jaccard": _sql_dedup_ngram_jaccard(0.3),
+        "dedup_clusters": _sql_dedup_clusters(0.3),
         "dedup_simhash": _sql_dedup_simhash(10),
         "dedup_lsh_embedding": _sql_dedup_lsh_embedding(6, _EMB_THRESHOLD),
         "lang_id": _sql_lang_id(),
