@@ -166,6 +166,82 @@ SELECT id_a, id_b, jaccard FROM vpairs ORDER BY id_a, id_b
 """
 
 
+def _sql_term_stats_cte(terms) -> str:
+    """Per-doc (dl, tf_j) stats over whitespace tokens — mirrors
+    etl_ray/ops/retrieval._term_stats."""
+    tf_cols = ",\n         ".join(
+        "len(list_filter(regexp_split_to_array(trim(coalesce(text, '')), "
+        f"'\\s+'), x -> x = '{t}')) AS tf_{j}"
+        for j, t in enumerate(terms))
+    return f"""stats AS (
+  SELECT doc_id,
+         CASE WHEN trim(coalesce(text, '')) = '' THEN 0
+              ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS dl,
+         {tf_cols}
+  FROM documents
+)"""
+
+
+def _sql_doc_frequencies() -> str:
+    return r"""
+WITH toks AS (
+  SELECT doc_id, unnest(regexp_split_to_array(trim(coalesce(text, '')),
+                                              '\s+')) AS token
+  FROM documents WHERE trim(coalesce(text, '')) <> ''
+),
+u AS (SELECT DISTINCT doc_id, token FROM toks WHERE token <> '')
+SELECT token, count(*) AS df FROM u GROUP BY token ORDER BY token
+"""
+
+
+def _sql_bm25_scores(terms, k1: float = 1.2, b: float = 0.75) -> str:
+    dfs = ",\n         ".join(
+        f"sum(CASE WHEN tf_{j} > 0 THEN 1 ELSE 0 END) AS df_{j}"
+        for j in range(len(terms)))
+    # literal-for-literal the engine's float expression order: idf uses the
+    # Lucene +1 floor; norm = k1*(1-b+b*dl/avgdl); terms summed left-to-right
+    parts = " + ".join(
+        f"(ln(1.0::DOUBLE + (g.n - g.df_{j} + 0.5::DOUBLE)"
+        f" / (g.df_{j} + 0.5::DOUBLE))"
+        f" * s.tf_{j} * ({k1}::DOUBLE + 1.0::DOUBLE)"
+        f" / (s.tf_{j} + {k1}::DOUBLE * (1.0::DOUBLE - {b}::DOUBLE"
+        f" + {b}::DOUBLE * s.dl / g.avgdl)))"
+        for j in range(len(terms)))
+    return f"""
+WITH {_sql_term_stats_cte(terms)},
+g AS (
+  SELECT count(*) AS n,
+         CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl,
+         {dfs}
+  FROM stats
+),
+scored AS (SELECT s.doc_id, {parts} AS score FROM stats s, g)
+SELECT doc_id, round(score, 6) AS score FROM scored
+WHERE score > 0 ORDER BY doc_id
+"""
+
+
+def _sql_tfidf_weights(terms) -> str:
+    dfs = ",\n         ".join(
+        f"sum(CASE WHEN tf_{j} > 0 THEN 1 ELSE 0 END) AS df_{j}"
+        for j in range(len(terms)))
+    arms = "\n  UNION ALL\n".join(
+        f"  SELECT s.doc_id, '{t}' AS term,"
+        f" CAST(s.tf_{j} AS DOUBLE) * ln((1.0::DOUBLE + g.n)"
+        f" / (1.0::DOUBLE + g.df_{j})) AS weight"
+        f" FROM stats s, g WHERE s.tf_{j} > 0"
+        for j, t in enumerate(terms))
+    return f"""
+WITH {_sql_term_stats_cte(terms)},
+g AS (SELECT count(*) AS n, {dfs} FROM stats),
+u AS (
+{arms}
+)
+SELECT doc_id, term, round(weight, 6) AS weight FROM u
+ORDER BY doc_id, term
+"""
+
+
 def _sql_dedup_clusters(threshold: float = 0.3) -> str:
     """Connected components over the verified near-dup pairs: DuckDB
     recursive transitive closure over the symmetric edge set; component
@@ -571,6 +647,48 @@ def _q_dedup_ngram_jaccard(sf_dir: str):
     out = minhash_near_dups(ds, threshold=0.3, concurrency=2)
     out["jaccard"] = out["jaccard"].round(4)
     return out
+
+
+_BM25_TERMS = ["window", "merge", "scan"]
+
+
+def _q_doc_frequencies(sf_dir: str):
+    """Corpus document frequencies (distinct-doc token counts)."""
+    import ray.data as rd
+
+    from etl_ray.ops.retrieval import doc_frequencies
+
+    ds = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                         columns=["doc_id", "text"])
+    out = doc_frequencies(ds).to_pandas()
+    return out.sort_values("token").reset_index(drop=True)
+
+
+def _q_bm25_scores(sf_dir: str):
+    """BM25 retrieval scores for a fixed term query (etl_ray/ops/
+    retrieval.py; two-pass compact-stats design)."""
+    import ray.data as rd
+
+    from etl_ray.ops.retrieval import bm25_scores
+
+    ds = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                         columns=["doc_id", "text"])
+    out = bm25_scores(ds, _BM25_TERMS).to_pandas()
+    out["score"] = out["score"].round(6)
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+def _q_tfidf_weights(sf_dir: str):
+    """Smoothed TF-IDF weights per (doc, query term)."""
+    import ray.data as rd
+
+    from etl_ray.ops.retrieval import tfidf_weights
+
+    ds = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                         columns=["doc_id", "text"])
+    out = tfidf_weights(ds, _BM25_TERMS).to_pandas()
+    out["weight"] = out["weight"].round(6)
+    return out.sort_values(["doc_id", "term"]).reset_index(drop=True)
 
 
 def _q_dedup_clusters(sf_dir: str):
@@ -1201,6 +1319,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_minhash_lsh": _q_dedup_minhash,
         "dedup_ngram_jaccard": _q_dedup_ngram_jaccard,
         "dedup_clusters": _q_dedup_clusters,
+        "doc_frequencies": _q_doc_frequencies,
+        "bm25_scores": _q_bm25_scores,
+        "tfidf_weights": _q_tfidf_weights,
         "dedup_simhash": _q_dedup_simhash,
         "dedup_embedding_cosine": _q_dedup_embedding,
         "dedup_lsh_embedding": _q_dedup_lsh_embedding,
@@ -1782,6 +1903,9 @@ FROM toks WHERE token <> '' GROUP BY token ORDER BY token
         "dedup_minhash_lsh": _sql_dedup_minhash(),
         "dedup_ngram_jaccard": _sql_dedup_ngram_jaccard(0.3),
         "dedup_clusters": _sql_dedup_clusters(0.3),
+        "doc_frequencies": _sql_doc_frequencies(),
+        "bm25_scores": _sql_bm25_scores(_BM25_TERMS),
+        "tfidf_weights": _sql_tfidf_weights(_BM25_TERMS),
         "dedup_simhash": _sql_dedup_simhash(10),
         "dedup_lsh_embedding": _sql_dedup_lsh_embedding(6, _EMB_THRESHOLD),
         "lang_id": _sql_lang_id(),
