@@ -347,6 +347,57 @@ FROM ranked WHERE rank <= {k} ORDER BY query_id, rank
 """
 
 
+def _sql_kmeans(k: int = 8, dim: int = 64, iters: int = 2,
+                seed: int = 11) -> str:
+    """Replays the engine's Lloyd iterations in SQL: seeded init centroids
+    as DOUBLE[] literals, per-iteration nearest-centroid assignment
+    (row_number over list_distance, lowest cid on ties — the engine's
+    np.argmin convention) and per-dim avg recompute via list indexing."""
+    from etl_ray.ops.similarity import ivf_centroids
+
+    C = ivf_centroids(dim, k, seed).astype(float)
+    cent_rows = ", ".join(
+        "(" + str(i) + ", CAST(["
+        + ",".join(repr(float(v)) for v in C[i]) + "] AS DOUBLE[]))"
+        for i in range(k))
+    ctes = [f"cent0(cid, c) AS (VALUES {cent_rows})"]
+    for it in range(iters):
+        prev, nxt = f"cent{it}", f"cent{it + 1}"
+        ctes.append(f"""a{it} AS (
+  SELECT vec_id, embedding, cid FROM (
+    SELECT e.vec_id, e.embedding, c.cid,
+           row_number() OVER (PARTITION BY e.vec_id ORDER BY
+             list_distance(CAST(e.embedding AS DOUBLE[]), c.c), c.cid) AS rn
+    FROM embeddings e, {prev} c) WHERE rn = 1
+)""")
+        ctes.append(f"""{nxt}_avg AS (
+  SELECT a.cid, t.i, avg(CAST(a.embedding[CAST(t.i AS INT)] AS DOUBLE)) AS m
+  FROM a{it} a, range(1, {dim + 1}) t(i) GROUP BY a.cid, t.i
+)""")
+        ctes.append(f"""{nxt}_list AS (
+  SELECT cid, list(m ORDER BY i) AS c FROM {nxt}_avg GROUP BY cid
+)""")
+        ctes.append(f"""{nxt} AS (
+  SELECT p.cid, COALESCE(l.c, p.c) AS c
+  FROM {prev} p LEFT JOIN {nxt}_list l ON l.cid = p.cid
+)""")
+    final = f"cent{iters}"
+    joined = ",\n".join(ctes)
+    return f"""
+WITH {joined},
+fin AS (
+  SELECT vec_id, cid, d FROM (
+    SELECT e.vec_id, c.cid,
+           list_distance(CAST(e.embedding AS DOUBLE[]), c.c) AS d,
+           row_number() OVER (PARTITION BY e.vec_id ORDER BY
+             list_distance(CAST(e.embedding AS DOUBLE[]), c.c), c.cid) AS rn
+    FROM embeddings e, {final} c) WHERE rn = 1
+)
+SELECT vec_id, cid AS cluster, round(d, 4) AS dist
+FROM fin ORDER BY vec_id
+"""
+
+
 def _sql_hll_registers(p: int = 8) -> str:
     """HLL register table: bucket = top p hash bits, rho = leading-zero
     count of the remainder + 1, exact integer math via length(bin(x))."""
@@ -650,6 +701,22 @@ def _q_dedup_ngram_jaccard(sf_dir: str):
 
 
 _BM25_TERMS = ["window", "merge", "scan"]
+
+
+def _q_kmeans(sf_dir: str):
+    """Distributed Lloyd's K-Means over embeddings (etl_ray/ops/
+    clustering.py): 2 iterations from the seeded init, final per-vector
+    assignment + distance."""
+    import ray.data as rd
+
+    from etl_ray.ops.clustering import kmeans
+
+    ds = rd.read_parquet(os.path.join(sf_dir, "embeddings.parquet"),
+                         columns=["vec_id", "embedding"])
+    assigned, _ = kmeans(ds, k=8, dim=64, iters=2, seed=11, concurrency=2)
+    out = assigned.to_pandas()
+    out["dist"] = out["dist"].round(4)
+    return out.sort_values("vec_id").reset_index(drop=True)
 
 
 def _q_doc_frequencies(sf_dir: str):
@@ -1322,6 +1389,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_frequencies": _q_doc_frequencies,
         "bm25_scores": _q_bm25_scores,
         "tfidf_weights": _q_tfidf_weights,
+        "kmeans_embeddings": _q_kmeans,
         "dedup_simhash": _q_dedup_simhash,
         "dedup_embedding_cosine": _q_dedup_embedding,
         "dedup_lsh_embedding": _q_dedup_lsh_embedding,
@@ -1906,6 +1974,7 @@ FROM toks WHERE token <> '' GROUP BY token ORDER BY token
         "doc_frequencies": _sql_doc_frequencies(),
         "bm25_scores": _sql_bm25_scores(_BM25_TERMS),
         "tfidf_weights": _sql_tfidf_weights(_BM25_TERMS),
+        "kmeans_embeddings": _sql_kmeans(8, 64, 2, 11),
         "dedup_simhash": _sql_dedup_simhash(10),
         "dedup_lsh_embedding": _sql_dedup_lsh_embedding(6, _EMB_THRESHOLD),
         "lang_id": _sql_lang_id(),
