@@ -65,7 +65,7 @@ def _minhash_perm_values() -> str:
     return ", ".join(f"({i}, {int(a[i])}, {int(b[i])})" for i in range(64))
 
 
-def _minhash_cte() -> str:
+def _minhash_cte(source: str = "documents") -> str:
     """Shared CTE chain: docs → word hashes → 3-gram shingle folds →
     minhash signatures → band keys → candidate pairs."""
     f = _fold_sql
@@ -76,7 +76,7 @@ def _minhash_cte() -> str:
                  "max(CASE WHEN r=3 THEN m END)")
     return f"""
 perms(perm, a, b) AS (VALUES {_minhash_perm_values()}),
-docs AS (SELECT doc_id, {_NORM_SQL} AS norm FROM documents),
+docs AS (SELECT doc_id, {_NORM_SQL} AS norm FROM {source}),
 warr AS (
   SELECT doc_id, CASE WHEN norm = '' THEN CAST([] AS VARCHAR[])
                       ELSE string_split(norm, ' ') END AS ws
@@ -130,11 +130,12 @@ def _sql_dedup_minhash() -> str:
     return f"WITH {_minhash_cte()} SELECT id_a, id_b FROM cand ORDER BY 1, 2"
 
 
-def _scored_pairs_ctes(threshold: float = 0.3) -> str:
+def _scored_pairs_ctes(threshold: float = 0.3,
+                       source: str = "documents") -> str:
     """CTE chain: minhash candidates → exact n-gram Jaccard score →
     ``vpairs`` (verified pairs at ``threshold``). Shared by the
     ngram-jaccard and dup-cluster oracles."""
-    return f"""{_minhash_cte()},
+    return f"""{_minhash_cte(source)},
 shd AS (SELECT DISTINCT doc_id, s FROM sh),
 sizes AS (SELECT doc_id, count(*) AS c FROM shd GROUP BY doc_id),
 inter AS (
@@ -242,12 +243,13 @@ ORDER BY doc_id, term
 """
 
 
-def _sql_dedup_clusters(threshold: float = 0.3) -> str:
+def _sql_dedup_clusters(threshold: float = 0.3,
+                       source: str = "documents") -> str:
     """Connected components over the verified near-dup pairs: DuckDB
     recursive transitive closure over the symmetric edge set; component
     id = min doc_id reachable (matches the engine's hash-to-min)."""
     return f"""
-WITH RECURSIVE {_scored_pairs_ctes(threshold)},
+WITH RECURSIVE {_scored_pairs_ctes(threshold, source)},
 edges AS (SELECT id_a AS a, id_b AS b FROM vpairs
           UNION SELECT id_b, id_a FROM vpairs),
 reach(node, lab) AS (
@@ -398,6 +400,44 @@ FROM fin ORDER BY vec_id
 """
 
 
+def _sql_corpus_curation(lang: str = "en", min_words: int = 20,
+                         threshold: float = 0.3) -> str:
+    """The full curation pipeline as one statement: language+length
+    filter, then the near-dup pair chain over the FILTERED docs, then the
+    recursive component closure, dropping non-canonical members."""
+    return f"""
+WITH RECURSIVE
+lc AS (SELECT doc_id, text, {_lang_count_cols()} FROM documents),
+fd AS (
+  SELECT doc_id, text, {_LANG_CASE} AS lang_pred,
+         CASE WHEN trim(coalesce(text, '')) = '' THEN 0
+              ELSE len(regexp_split_to_array(trim(text), '\\s+'))
+         END AS n_words
+  FROM lc
+),
+fdocs AS (SELECT doc_id, text FROM fd
+          WHERE lang_pred = '{lang}' AND n_words >= {min_words}),
+{_scored_pairs_ctes(threshold, "fdocs")},
+edges AS (SELECT id_a AS a, id_b AS b FROM vpairs
+          UNION SELECT id_b, id_a FROM vpairs),
+reach(node, lab) AS (
+  SELECT a, a FROM edges
+  UNION
+  SELECT e.a, r.lab FROM edges e JOIN reach r ON r.node = e.b
+),
+drops AS (
+  SELECT node FROM (SELECT node, min(lab) AS component
+                    FROM reach GROUP BY node)
+  WHERE node <> component
+)
+SELECT f.doc_id, f.lang_pred, f.n_words
+FROM fd f
+WHERE f.lang_pred = '{lang}' AND f.n_words >= {min_words}
+  AND f.doc_id NOT IN (SELECT node FROM drops)
+ORDER BY f.doc_id
+"""
+
+
 def _sql_hll_registers(p: int = 8) -> str:
     """HLL register table: bucket = top p hash bits, rho = leading-zero
     count of the remainder + 1, exact integer math via length(bin(x))."""
@@ -445,22 +485,28 @@ FROM cells GROUP BY row, bucket ORDER BY row, bucket
 """
 
 
-def _sql_lang_id() -> str:
+def _lang_count_cols() -> str:
     from etl_ray.functions.text import LANG_PROFILES
 
-    counts = ", ".join(
+    return ", ".join(
         f"len(regexp_extract_all(lower(text), "
         f"'\\b(?:{'|'.join(sorted(LANG_PROFILES[lang]))})\\b')) AS n_{lang}"
         for lang in LANG_PROFILES)
-    # argmax with first-wins tie-break in profile order (en, de, fr, es)
+
+
+# argmax with first-wins tie-break in profile order (en, de, fr, es)
+_LANG_CASE = """CASE
+  WHEN n_en = 0 AND n_de = 0 AND n_fr = 0 AND n_es = 0 THEN 'unk'
+  WHEN n_en >= n_de AND n_en >= n_fr AND n_en >= n_es THEN 'en'
+  WHEN n_de >= n_fr AND n_de >= n_es THEN 'de'
+  WHEN n_fr >= n_es THEN 'fr'
+  ELSE 'es' END"""
+
+
+def _sql_lang_id() -> str:
     return f"""
-WITH c AS (SELECT doc_id, {counts} FROM documents)
-SELECT doc_id,
-       CASE WHEN n_en = 0 AND n_de = 0 AND n_fr = 0 AND n_es = 0 THEN 'unk'
-            WHEN n_en >= n_de AND n_en >= n_fr AND n_en >= n_es THEN 'en'
-            WHEN n_de >= n_fr AND n_de >= n_es THEN 'de'
-            WHEN n_fr >= n_es THEN 'fr'
-            ELSE 'es' END AS lang_pred
+WITH c AS (SELECT doc_id, {_lang_count_cols()} FROM documents)
+SELECT doc_id, {_LANG_CASE} AS lang_pred
 FROM c ORDER BY doc_id
 """
 
@@ -701,6 +747,14 @@ def _q_dedup_ngram_jaccard(sf_dir: str):
 
 
 _BM25_TERMS = ["window", "merge", "scan"]
+
+
+def _q_corpus_curation(sf_dir: str):
+    """Flagship curation composite: lang filter + length filter + near-dup
+    cluster drop (etl_ray/pipelines/curation.py)."""
+    from etl_ray.pipelines.curation import curate_corpus
+
+    return curate_corpus(sf_dir)
 
 
 def _q_kmeans(sf_dir: str):
@@ -1390,6 +1444,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_scores": _q_bm25_scores,
         "tfidf_weights": _q_tfidf_weights,
         "kmeans_embeddings": _q_kmeans,
+        "corpus_curation": _q_corpus_curation,
         "dedup_simhash": _q_dedup_simhash,
         "dedup_embedding_cosine": _q_dedup_embedding,
         "dedup_lsh_embedding": _q_dedup_lsh_embedding,
@@ -1975,6 +2030,7 @@ FROM toks WHERE token <> '' GROUP BY token ORDER BY token
         "bm25_scores": _sql_bm25_scores(_BM25_TERMS),
         "tfidf_weights": _sql_tfidf_weights(_BM25_TERMS),
         "kmeans_embeddings": _sql_kmeans(8, 64, 2, 11),
+        "corpus_curation": _sql_corpus_curation("en", 20, 0.3),
         "dedup_simhash": _sql_dedup_simhash(10),
         "dedup_lsh_embedding": _sql_dedup_lsh_embedding(6, _EMB_THRESHOLD),
         "lang_id": _sql_lang_id(),

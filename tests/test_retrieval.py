@@ -48,3 +48,16 @@ def test_tfidf_weights(ray_session):
     assert set(w) == {(1, "apple"), (2, "cherry"), (3, "cherry")}
     assert abs(w[(1, "apple")] - 2 * math.log(6 / 2)) < 1e-12
     assert abs(w[(3, "cherry")] - 3 * math.log(6 / 3)) < 1e-12
+
+
+def test_enrich_documents(ray_session):
+    from etl_ray.pipelines.curation import enrich_documents
+
+    ds = rd.from_items([
+        {"doc_id": 1, "text": "the cat and the hat is that"},
+        {"doc_id": 2, "text": "der hund und die katze ist nicht"},
+        {"doc_id": 3, "text": "xyzzy plugh"},
+    ])
+    out = enrich_documents(ds).to_pandas().sort_values("doc_id")
+    assert list(out["lang_pred"]) == ["en", "de", "unk"]
+    assert list(out["n_words"]) == [7, 7, 2]
