@@ -400,6 +400,45 @@ FROM fin ORDER BY vec_id
 """
 
 
+def _sql_value_histogram(lo: float = 0.0, hi: float = 400.0,
+                         n_bins: int = 20) -> str:
+    w = (hi - lo) / n_bins
+    return f"""
+WITH b AS (
+  SELECT LEAST(GREATEST(CAST(floor((value - {lo}::DOUBLE) / {w}::DOUBLE)
+                             AS BIGINT), 0), {n_bins - 1}) AS bin
+  FROM events WHERE value IS NOT NULL
+)
+SELECT bin,
+       CAST({lo}::DOUBLE + bin * {w}::DOUBLE AS DOUBLE) AS bin_lo,
+       CAST({lo}::DOUBLE + (bin + 1) * {w}::DOUBLE AS DOUBLE) AS bin_hi,
+       count(*) AS n
+FROM b GROUP BY bin ORDER BY bin
+"""
+
+
+def _sql_value_quantiles(qs) -> str:
+    arms = "\nUNION ALL\n".join(
+        f"SELECT {q}::DOUBLE AS q, percentile_disc({q}::DOUBLE)"
+        f" WITHIN GROUP (ORDER BY value) AS value FROM events"
+        for q in qs)
+    return f"{arms}\nORDER BY q"
+
+
+_SQL_ANTI_JOIN = """
+SELECT c_custkey, c_name FROM customer
+WHERE c_custkey NOT IN (SELECT o_custkey FROM orders
+                        WHERE o_orderpriority = '1-URGENT')
+ORDER BY c_custkey
+"""
+
+_SQL_SEMI_JOIN = """
+SELECT p_partkey, p_name FROM part
+WHERE p_partkey IN (SELECT l_partkey FROM lineitem)
+ORDER BY p_partkey
+"""
+
+
 def _sql_corpus_curation(lang: str = "en", min_words: int = 20,
                          threshold: float = 0.3) -> str:
     """The full curation pipeline as one statement: language+length
@@ -747,6 +786,75 @@ def _q_dedup_ngram_jaccard(sf_dir: str):
 
 
 _BM25_TERMS = ["window", "merge", "scan"]
+
+
+def _q_value_histogram(sf_dir: str):
+    """Mergeable fixed-bin histogram over events.value (ops/stats.py)."""
+    import ray.data as rd
+
+    from etl_ray.ops.stats import histogram
+
+    ds = rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                         columns=["value"])
+    out = histogram(ds, col="value", lo=0.0, hi=400.0, n_bins=20).to_pandas()
+    return out.sort_values("bin").reset_index(drop=True)
+
+
+_QUANTILE_QS = [0.01, 0.25, 0.5, 0.75, 0.9, 0.99]
+
+
+def _q_value_quantiles(sf_dir: str):
+    """Exact distributed quantiles: sort + metadata walk + targeted block
+    fetch (ops/stats.py, percentile_disc semantics)."""
+    import ray.data as rd
+
+    from etl_ray.ops.stats import exact_quantiles
+
+    ds = rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                         columns=["value"])
+    return exact_quantiles(ds, col="value", qs=_QUANTILE_QS)
+
+
+def _q_anti_join(sf_dir: str):
+    """Customers with no URGENT orders: shuffle anti-join (distinct right
+    keys + left_outer + null filter, ops/joins.py)."""
+    import pandas as pd
+    import pyarrow.compute as pc
+    import ray.data as rd
+
+    from etl_ray.ops.joins import anti_join
+
+    cust = rd.read_parquet(os.path.join(sf_dir, "customer.parquet"),
+                           columns=["c_custkey", "c_name"])
+    orders = rd.read_parquet(
+        os.path.join(sf_dir, "orders.parquet"),
+        columns=["o_custkey", "o_orderpriority"],
+    ).map_batches(
+        lambda t: t.filter(
+            pc.equal(t["o_orderpriority"], "1-URGENT")
+        ).select(["o_custkey"]),
+        batch_format="pyarrow")
+    out = anti_join(cust, orders, on="c_custkey",
+                    right_on="o_custkey").to_pandas()
+    if out.empty:  # an empty Ray dataset loses its schema on to_pandas
+        out = pd.DataFrame({"c_custkey": pd.Series(dtype="int64"),
+                            "c_name": pd.Series(dtype="object")})
+    return out.sort_values("c_custkey").reset_index(drop=True)
+
+
+def _q_semi_join(sf_dir: str):
+    """Parts that appear in at least one lineitem: shuffle semi-join."""
+    import ray.data as rd
+
+    from etl_ray.ops.joins import semi_join
+
+    part = rd.read_parquet(os.path.join(sf_dir, "part.parquet"),
+                           columns=["p_partkey", "p_name"])
+    li = rd.read_parquet(os.path.join(sf_dir, "lineitem.parquet"),
+                         columns=["l_partkey"])
+    out = semi_join(part, li, on="p_partkey",
+                    right_on="l_partkey").to_pandas()
+    return out.sort_values("p_partkey").reset_index(drop=True)
 
 
 def _q_corpus_curation(sf_dir: str):
@@ -1445,6 +1553,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tfidf_weights": _q_tfidf_weights,
         "kmeans_embeddings": _q_kmeans,
         "corpus_curation": _q_corpus_curation,
+        "value_histogram": _q_value_histogram,
+        "value_quantiles": _q_value_quantiles,
+        "anti_join_customers": _q_anti_join,
+        "semi_join_parts": _q_semi_join,
         "dedup_simhash": _q_dedup_simhash,
         "dedup_embedding_cosine": _q_dedup_embedding,
         "dedup_lsh_embedding": _q_dedup_lsh_embedding,
@@ -2031,6 +2143,10 @@ FROM toks WHERE token <> '' GROUP BY token ORDER BY token
         "tfidf_weights": _sql_tfidf_weights(_BM25_TERMS),
         "kmeans_embeddings": _sql_kmeans(8, 64, 2, 11),
         "corpus_curation": _sql_corpus_curation("en", 20, 0.3),
+        "value_histogram": _sql_value_histogram(0.0, 400.0, 20),
+        "value_quantiles": _sql_value_quantiles(_QUANTILE_QS),
+        "anti_join_customers": _SQL_ANTI_JOIN,
+        "semi_join_parts": _SQL_SEMI_JOIN,
         "dedup_simhash": _sql_dedup_simhash(10),
         "dedup_lsh_embedding": _sql_dedup_lsh_embedding(6, _EMB_THRESHOLD),
         "lang_id": _sql_lang_id(),

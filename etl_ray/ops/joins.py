@@ -377,3 +377,91 @@ def range_join(left, intervals, *, on: str, lo_col: str, hi_col: str,
 
     return both.groupby("__bucket").map_groups(
         per_bucket, batch_format="pandas")
+
+
+# ------------------------------------------------------------ semi / anti
+def _distinct_keys(right, right_on: str, out_name: str):
+    """Right side collapsed to its distinct keys BEFORE the shuffle (the
+    semi/anti combiner: at most one row per distinct key per batch moves)."""
+    from ray.data.aggregate import Count
+
+    def keys_only(t: pa.Table) -> pa.Table:
+        if len(t) == 0 and right_on not in t.column_names:
+            return pa.table({out_name: pa.array([], pa.int64())})
+        col = t[right_on].combine_chunks()
+        return pa.table({out_name: col.unique()})
+
+    return (
+        right.map_batches(keys_only, batch_format="pyarrow")
+        .groupby(out_name).aggregate(Count(alias_name="_n"))
+        .select_columns([out_name])
+    )
+
+
+def semi_join(left, right, *, on: str, right_on: Optional[str] = None,
+              num_partitions: int = 8):
+    """Rows of ``left`` whose key appears in ``right`` (no right columns,
+    no duplication). Shuffle variant: distinct right keys, then one hash
+    join — use ``broadcast_semi_join`` when the key set fits a task."""
+    from etl_ray.ops.components import _JOIN_KW, _nonempty
+
+    keys = _nonempty(_distinct_keys(right, right_on or on, "__semi_key"))
+    joined = _nonempty(left).join(
+        keys, on=(on,), right_on=("__semi_key",),
+        num_partitions=num_partitions, **_JOIN_KW)
+
+    # The join may merge the right key into the left key column; drop the
+    # marker column only when it survives.
+    def tidy(t: pa.Table) -> pa.Table:
+        if "__semi_key" in t.column_names:
+            return t.drop_columns(["__semi_key"])
+        return t
+
+    return joined.map_batches(tidy, batch_format="pyarrow")
+
+
+def anti_join(left, right, *, on: str, right_on: Optional[str] = None,
+              num_partitions: int = 8):
+    """Rows of ``left`` whose key does NOT appear in ``right``: left_outer
+    against the distinct right keys + null filter on the marker."""
+    import pyarrow.compute as pc
+
+    from etl_ray.ops.components import _nonempty
+
+    keys = _nonempty(
+        _distinct_keys(right, right_on or on, "__anti_key").map_batches(
+            lambda t: t.append_column(
+                "__anti_hit", pa.array(np.ones(len(t), np.int8))),
+            batch_format="pyarrow",
+        ))
+    joined = _nonempty(left).join(
+        keys, on=(on,), right_on=("__anti_key",), join_type="left_outer",
+        num_partitions=num_partitions,
+        aggregator_ray_remote_args={"memory": 256 << 20, "num_cpus": 0.5})
+
+    def miss_only(t: pa.Table) -> pa.Table:
+        if "__anti_hit" not in t.column_names:
+            return t
+        keep = pc.is_null(t["__anti_hit"])
+        return t.filter(keep).drop_columns(
+            [c for c in ("__anti_hit", "__anti_key") if c in t.column_names])
+
+    return joined.map_batches(miss_only, batch_format="pyarrow")
+
+
+def broadcast_semi_join(left, key_values, *, on: str, keep: bool = True):
+    """Key set broadcast via ``ray.put``; one vectorized ``isin`` per
+    batch, zero shuffle. ``keep=False`` turns it into an anti join."""
+    import ray
+    import pyarrow.compute as pc
+
+    ref = ray.put(np.asarray(list(key_values)))
+
+    def f(t: pa.Table) -> pa.Table:
+        ks = ray.get(ref)
+        mask = pc.is_in(t[on], value_set=pa.array(ks))
+        if not keep:
+            mask = pc.invert(mask)
+        return t.filter(mask)
+
+    return left.map_batches(f, batch_format="pyarrow")
