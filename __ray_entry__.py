@@ -439,6 +439,106 @@ ORDER BY p_partkey
 """
 
 
+_SQL_TOKS_W = r"""
+  SELECT regexp_split_to_array(trim(coalesce(text, '')), '\s+') AS w
+  FROM documents WHERE trim(coalesce(text, '')) <> ''
+"""
+
+
+def _sql_token_bigrams(min_count: int) -> str:
+    return f"""
+WITH toks AS ({_SQL_TOKS_W}),
+ex AS (
+  SELECT w, unnest(generate_series(1, len(w) - 1)) AS i
+  FROM toks WHERE len(w) >= 2
+)
+SELECT w[i] AS w1, w[i + 1] AS w2, count(*) AS n
+FROM ex GROUP BY w1, w2 HAVING count(*) >= {min_count}
+ORDER BY w1, w2
+"""
+
+
+def _sql_pmi_collocations(min_count: int) -> str:
+    # arithmetic mirrors ops/ngrams.pmi_bigrams term-for-term so the
+    # doubles are bit-equal before the shared round()
+    return f"""
+WITH toks AS ({_SQL_TOKS_W}),
+uni AS (
+  SELECT token, count(*) AS n
+  FROM (SELECT unnest(w) AS token FROM toks) GROUP BY token
+),
+tt AS (SELECT CAST(sum(n) AS DOUBLE) AS t FROM uni),
+pt AS (SELECT CAST(sum(len(w) - 1) AS DOUBLE) AS p FROM toks),
+ex AS (
+  SELECT w, unnest(generate_series(1, len(w) - 1)) AS i
+  FROM toks WHERE len(w) >= 2
+),
+big AS (
+  SELECT w[i] AS w1, w[i + 1] AS w2, count(*) AS n
+  FROM ex GROUP BY w1, w2 HAVING count(*) >= {min_count}
+)
+SELECT b.w1, b.w2, b.n,
+       round(ln((CAST(b.n AS DOUBLE) / pt.p) /
+                ((CAST(u1.n AS DOUBLE) / tt.t) *
+                 (CAST(u2.n AS DOUBLE) / tt.t))), 4) AS pmi
+FROM big b
+JOIN uni u1 ON b.w1 = u1.token
+JOIN uni u2 ON b.w2 = u2.token, tt, pt
+ORDER BY b.w1, b.w2
+"""
+
+
+_SQL_ZSCORE_EVENTS = """
+WITH m AS (
+  SELECT event_type, count(*) AS n,
+         sum(CAST(round(value * 100) AS BIGINT)) AS s,
+         sum(CAST(round(value * 100) AS BIGINT)
+             * CAST(round(value * 100) AS BIGINT)) AS s2
+  FROM events WHERE value IS NOT NULL GROUP BY event_type
+)
+SELECT e.event_id, e.event_type,
+       round((round(e.value * 100) - CAST(m.s AS DOUBLE) / m.n)
+             / sqrt(CAST(m.s2 AS DOUBLE) / m.n
+                    - (CAST(m.s AS DOUBLE) / m.n)
+                      * (CAST(m.s AS DOUBLE) / m.n)), 6) AS z
+FROM events e JOIN m USING (event_type)
+WHERE e.value IS NOT NULL
+ORDER BY e.event_id
+"""
+
+
+def _sql_grouped_quantiles(qs) -> str:
+    arms = "\nUNION ALL\n".join(
+        f"SELECT event_type, {q}::DOUBLE AS q,"
+        f" percentile_disc({q}::DOUBLE) WITHIN GROUP (ORDER BY value)"
+        f" AS value FROM events GROUP BY event_type"
+        for q in qs)
+    return f"{arms}\nORDER BY event_type, q"
+
+
+_SQL_ROLLUP_DOCS = """
+SELECT source, lang, count(*) AS n,
+       CAST(sum(n_chars) AS BIGINT) AS n_chars_sum
+FROM documents GROUP BY ROLLUP (source, lang)
+ORDER BY source NULLS LAST, lang NULLS LAST
+"""
+
+
+def _sql_pivot_events(values) -> str:
+    arms = ",\n".join(
+        f"""  CASE WHEN count(*) FILTER (WHERE event_type = '{v}') = 0
+       THEN NULL
+       ELSE (CAST(sum(CAST(round(value * 100) AS BIGINT))
+                  FILTER (WHERE event_type = '{v}') AS DOUBLE) / 100.0)
+            / count(*) FILTER (WHERE event_type = '{v}')
+  END AS avg_{v}""" for v in values)
+    return f"""
+SELECT user_id,
+{arms}
+FROM events GROUP BY user_id ORDER BY user_id
+"""
+
+
 def _sql_corpus_curation(lang: str = "en", min_words: int = 20,
                          threshold: float = 0.3) -> str:
     """The full curation pipeline as one statement: language+length
@@ -855,6 +955,94 @@ def _q_semi_join(sf_dir: str):
     out = semi_join(part, li, on="p_partkey",
                     right_on="l_partkey").to_pandas()
     return out.sort_values("p_partkey").reset_index(drop=True)
+
+
+def _q_token_bigrams(sf_dir: str):
+    """Corpus bigram counts: batch-local pair counting, Sum combine
+    (ops/ngrams.py)."""
+    import ray.data as rd
+
+    from etl_ray.ops.ngrams import bigram_counts
+
+    ds = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                         columns=["text"])
+    out = bigram_counts(ds, min_count=3).to_pandas()
+    return out.sort_values(["w1", "w2"]).reset_index(drop=True)
+
+
+def _q_pmi_collocations(sf_dir: str):
+    """PMI per bigram: broadcast unigram table + vectorized log scoring
+    (ops/ngrams.py)."""
+    import ray.data as rd
+
+    from etl_ray.ops.ngrams import pmi_bigrams
+
+    ds = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                         columns=["text"])
+    return pmi_bigrams(ds, min_count=5, round_to=4)
+
+
+def _q_zscore_events(sf_dir: str):
+    """Per-event-type population z-score: one tiny moments aggregate,
+    stats broadcast, stateless normalize — no row shuffle
+    (ops/stats.py)."""
+    import ray.data as rd
+
+    from etl_ray.ops.stats import group_zscore
+
+    ds = rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                         columns=["event_id", "event_type", "value"])
+    out = group_zscore(ds, col="value", by="event_type",
+                       id_col="event_id").to_pandas()
+    return out.sort_values("event_id").reset_index(drop=True)
+
+
+_GQ_QS = [0.25, 0.5, 0.75, 0.95]
+
+
+def _q_grouped_quantiles(sf_dir: str):
+    """percentile_disc of value per event type (ops/stats.py; few-groups
+    partitioning assumption documented there)."""
+    import ray.data as rd
+
+    from etl_ray.ops.stats import grouped_quantiles
+
+    ds = rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                         columns=["event_type", "value"])
+    out = grouped_quantiles(ds, col="value", by="event_type",
+                            qs=_GQ_QS).to_pandas()
+    return out.sort_values(["event_type", "q"]).reset_index(drop=True)
+
+
+def _q_rollup_docs(sf_dir: str):
+    """GROUP BY ROLLUP(source, lang) over documents: per-level aggregates
+    unioned with NULL fill (ops/stats.py)."""
+    import ray.data as rd
+
+    from etl_ray.ops.stats import rollup_counts
+
+    ds = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                         columns=["source", "lang", "n_chars"])
+    out = rollup_counts(ds, cols=["source", "lang"], agg_col="n_chars")
+    return out.sort_values(["source", "lang"],
+                           na_position="last").reset_index(drop=True)
+
+
+_PIVOT_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+
+def _q_pivot_events(sf_dir: str):
+    """Wide per-user aggregation: avg value per event type as columns,
+    integer-cent partial sums for bit-exact averages (ops/stats.py)."""
+    import ray.data as rd
+
+    from etl_ray.ops.stats import pivot_avg_cents
+
+    ds = rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                         columns=["user_id", "event_type", "value"])
+    out = pivot_avg_cents(ds, index="user_id", pivot_col="event_type",
+                          value_col="value", values=_PIVOT_TYPES).to_pandas()
+    return out.sort_values("user_id").reset_index(drop=True)
 
 
 def _q_corpus_curation(sf_dir: str):
@@ -1557,6 +1745,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "value_quantiles": _q_value_quantiles,
         "anti_join_customers": _q_anti_join,
         "semi_join_parts": _q_semi_join,
+        "token_bigrams": _q_token_bigrams,
+        "pmi_collocations": _q_pmi_collocations,
+        "zscore_events": _q_zscore_events,
+        "grouped_quantiles": _q_grouped_quantiles,
+        "rollup_docs": _q_rollup_docs,
+        "pivot_events": _q_pivot_events,
         "dedup_simhash": _q_dedup_simhash,
         "dedup_embedding_cosine": _q_dedup_embedding,
         "dedup_lsh_embedding": _q_dedup_lsh_embedding,
@@ -2147,6 +2341,12 @@ FROM toks WHERE token <> '' GROUP BY token ORDER BY token
         "value_quantiles": _sql_value_quantiles(_QUANTILE_QS),
         "anti_join_customers": _SQL_ANTI_JOIN,
         "semi_join_parts": _SQL_SEMI_JOIN,
+        "token_bigrams": _sql_token_bigrams(3),
+        "pmi_collocations": _sql_pmi_collocations(5),
+        "zscore_events": _SQL_ZSCORE_EVENTS,
+        "grouped_quantiles": _sql_grouped_quantiles(_GQ_QS),
+        "rollup_docs": _SQL_ROLLUP_DOCS,
+        "pivot_events": _sql_pivot_events(_PIVOT_TYPES),
         "dedup_simhash": _sql_dedup_simhash(10),
         "dedup_lsh_embedding": _sql_dedup_lsh_embedding(6, _EMB_THRESHOLD),
         "lang_id": _sql_lang_id(),

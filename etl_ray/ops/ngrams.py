@@ -1,0 +1,132 @@
+"""Token n-gram statistics over a text corpus: bigram counts and PMI
+collocations.
+
+The canonical corpus statistics behind tokenizer training and
+collocation-aware filtering in a pre-training pipeline (complements
+textops.token_histogram, whose tokenization this module reuses exactly).
+
+Scale shape: pairs are counted WITHIN each batch first (flat token array
++ boundary mask + value_counts — no per-row Python loop), so the shuffle
+moves one row per DISTINCT pair per batch and the combine is a
+hash-aggregate Sum. PMI broadcasts the unigram table once via ``ray.put``
+(bounded by ``max_broadcast_vocab``); corpora whose vocabulary exceeds
+the bound should join instead — the count tables are plain datasets, so
+``Dataset.join`` on w1/w2 is the drop-in unbounded path.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+def _flat_pairs(df: pd.DataFrame, text_col: str) -> pd.DataFrame:
+    """All adjacent token pairs in a batch as a (w1, w2) frame (documents
+    never pair across their boundary)."""
+    s = df[text_col].astype(str).str.split()
+    lens = s.str.len().fillna(0).to_numpy(dtype=np.int64)
+    keep = lens >= 2  # need at least one pair
+    if not keep.any():
+        return pd.DataFrame({"w1": pd.Series([], dtype=object),
+                             "w2": pd.Series([], dtype=object)})
+    s2, lens2 = s[keep], lens[keep]
+    flat = s2.explode().to_numpy()
+    ends = np.cumsum(lens2)
+    valid = np.ones(len(flat) - 1, dtype=bool)
+    valid[ends[:-1] - 1] = False  # pair crossing a doc boundary
+    return pd.DataFrame({"w1": flat[:-1][valid], "w2": flat[1:][valid]})
+
+
+def bigram_counts(ds, *, text_col: str = "text", min_count: int = 1):
+    """(w1, w2, n) over whitespace-token bigrams; pairs with fewer than
+    ``min_count`` total occurrences are dropped AFTER the global combine.
+    The global combine is a two-key hash aggregate (no separator-encoded
+    composite keys — tokens may contain any non-whitespace byte)."""
+    import pyarrow.compute as pc
+
+    from ray.data.aggregate import Sum
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        pairs = _flat_pairs(df, text_col)
+        out = pairs.groupby(["w1", "w2"], as_index=False, sort=False) \
+            .size().rename(columns={"size": "n"})
+        out["n"] = out["n"].astype("int64")
+        return out
+
+    agg = (
+        ds.map_batches(partial, batch_format="pandas")
+        .groupby(["w1", "w2"])
+        .aggregate(Sum("n", alias_name="n"))
+    )
+
+    def thresh(t: pa.Table) -> pa.Table:
+        if len(t) == 0:
+            return pa.table({"w1": pa.array([], pa.string()),
+                             "w2": pa.array([], pa.string()),
+                             "n": pa.array([], pa.int64())})
+        return t.filter(pc.greater_equal(t["n"], min_count))
+
+    return agg.map_batches(thresh, batch_format="pyarrow")
+
+
+def unigram_counts(ds, *, text_col: str = "text"):
+    """(token, n) — same tokenization as bigram_counts (and
+    textops.token_histogram)."""
+    from etl_ray.ops.textops import token_histogram
+
+    return token_histogram(ds, text_col=text_col)
+
+
+def pmi_bigrams(ds, *, text_col: str = "text", min_count: int = 2,
+                round_to: int = 4, max_broadcast_vocab: int = 2_000_000):
+    """Pointwise mutual information per bigram:
+    ``pmi = ln((n_xy / P) / ((n_x / T) * (n_y / T)))`` with P = total
+    pairs, T = total tokens. Returns a pandas DataFrame
+    (w1, w2, n, pmi) for pairs with ``n >= min_count``.
+
+    The unigram table is broadcast once (one ``ray.put``, read per task);
+    its size is asserted against ``max_broadcast_vocab`` so a web-scale
+    vocabulary fails loudly toward the join path instead of OOMing."""
+    import ray
+
+    uni = unigram_counts(ds, text_col=text_col).to_pandas()
+    if len(uni) > max_broadcast_vocab:
+        raise ValueError(
+            f"vocabulary {len(uni)} exceeds max_broadcast_vocab "
+            f"{max_broadcast_vocab}; join bigrams against unigram_counts "
+            "datasets instead of broadcasting")
+    T = int(uni["n"].sum())
+    lookup = dict(zip(uni["token"], uni["n"].astype(np.int64)))
+    ref = ray.put(lookup)
+
+    big = bigram_counts(ds, text_col=text_col, min_count=min_count)
+
+    def score(t: pa.Table) -> pa.Table:
+        lk = ray.get(ref)
+        if len(t) == 0:
+            return pa.table({"w1": pa.array([], pa.string()),
+                             "w2": pa.array([], pa.string()),
+                             "n": pa.array([], pa.int64()),
+                             "pmi": pa.array([], pa.float64())})
+        n = t["n"].to_numpy(zero_copy_only=False).astype(np.float64)
+        nx = pd.Series(t["w1"].to_pylist()).map(lk).to_numpy(np.float64)
+        ny = pd.Series(t["w2"].to_pylist()).map(lk).to_numpy(np.float64)
+        pmi = np.log((n / score.P) / ((nx / T) * (ny / T)))
+        return pa.table({"w1": t["w1"], "w2": t["w2"], "n": t["n"],
+                         "pmi": pa.array(np.round(pmi, round_to))})
+
+    # P = total adjacent pairs in the corpus = Σ_doc max(len_doc - 1, 0).
+    # Derived with one tiny aggregate over per-batch partials.
+    from ray.data.aggregate import Sum
+
+    def pair_total(df: pd.DataFrame) -> pd.DataFrame:
+        lens = df[text_col].astype(str).str.split().str.len() \
+            .fillna(0).to_numpy(dtype=np.int64)
+        return pd.DataFrame({"p": [int(np.maximum(lens - 1, 0).sum())]})
+
+    P = int(ds.map_batches(pair_total, batch_format="pandas")
+            .aggregate(Sum("p", alias_name="p"))["p"])
+    score.P = float(P)
+
+    out = big.map_batches(score, batch_format="pyarrow").to_pandas()
+    return out.sort_values(["w1", "w2"]).reset_index(drop=True)

@@ -97,3 +97,146 @@ def exact_quantiles(ds, *, col: str, qs: Sequence[float]) -> pd.DataFrame:
         cum += cnt
     return pd.DataFrame({"q": list(qs),
                          "value": [values[r] for r in ranks]})
+
+
+def group_moments_cents(ds, *, col: str, by: str):
+    """Per-group (n, Σcents, Σcents²) where cents = round(col·100) as
+    int64. Integer partial sums make the downstream mean/variance doubles
+    BIT-EQUAL to any oracle doing the same arithmetic — no float-summation
+    order sensitivity. Returns a small pandas DataFrame (one row/group)."""
+    from ray.data.aggregate import Sum
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        v = df[col].to_numpy(dtype=np.float64)
+        ok = ~np.isnan(v)
+        c = np.round(v[ok] * 100).astype(np.int64)
+        g = df[by].to_numpy()[ok]
+        out = pd.DataFrame({by: g, "_n": 1, "_s": c, "_s2": c * c})
+        return out.groupby(by, as_index=False).sum()
+
+    return (
+        ds.map_batches(partial, batch_format="pandas")
+        .groupby(by)
+        .aggregate(Sum("_n", alias_name="n"),
+                   Sum("_s", alias_name="s"),
+                   Sum("_s2", alias_name="s2"))
+    ).to_pandas()
+
+
+def group_zscore(ds, *, col: str, by: str, id_col: str,
+                 round_to: int = 6):
+    """Population z-score of ``col`` within each ``by`` group:
+    one small aggregate (group_moments_cents), stats broadcast once via
+    ``ray.put``, then a stateless vectorized normalize — no row shuffle.
+    Returns a Dataset (id_col, by, z)."""
+    import ray
+
+    m = group_moments_cents(ds, col=col, by=by)
+    mean_c = m["s"].to_numpy(np.float64) / m["n"].to_numpy(np.float64)
+    var_c = (m["s2"].to_numpy(np.float64) / m["n"].to_numpy(np.float64)
+             - mean_c * mean_c)
+    stats = {k: (mu, math.sqrt(v))
+             for k, mu, v in zip(m[by], mean_c, var_c)}
+    ref = ray.put(stats)
+
+    def norm(df: pd.DataFrame) -> pd.DataFrame:
+        st = ray.get(ref)
+        v = df[col].to_numpy(np.float64)
+        df = df[~np.isnan(v)]  # null value = no z-score row
+        keys = df[by].to_numpy()
+        mu = np.array([st[k][0] for k in keys])
+        sd = np.array([st[k][1] for k in keys])
+        c = np.round(df[col].to_numpy(np.float64) * 100)
+        z = np.round((c - mu) / sd, round_to)
+        return pd.DataFrame({id_col: df[id_col], by: df[by], "z": z})
+
+    return ds.map_batches(norm, batch_format="pandas")
+
+
+def grouped_quantiles(ds, *, col: str, by: str, qs: Sequence[float]):
+    """percentile_disc per group. Partitioning assumption: the number of
+    DISTINCT groups is small (each group's values fit one task) — right
+    for categorical strata like event types or languages; for millions of
+    groups use the sort-based exact_quantiles per hash-range instead.
+    Returns a Dataset (by, q, value)."""
+    qs = list(qs)
+
+    def per_group(g: pd.DataFrame) -> pd.DataFrame:
+        v = np.sort(g[col].to_numpy(dtype=np.float64))
+        v = v[~np.isnan(v)]
+        n = len(v)
+        vals = [v[max(0, min(n - 1, math.ceil(q * n) - 1))] if n else None
+                for q in qs]
+        return pd.DataFrame({by: [g[by].iloc[0]] * len(qs),
+                             "q": qs, "value": vals})
+
+    return ds.groupby(by).map_groups(per_group, batch_format="pandas")
+
+
+def rollup_counts(ds, *, cols: Sequence[str], agg_col: str):
+    """GROUP BY ROLLUP(cols): one aggregate per prefix level
+    (c0..ck), (c0..ck-1), ..., () — coarser levels use NULL for the
+    rolled-up columns. Each level is its own small shuffle over already
+    pre-aggregated rows. Returns a pandas DataFrame
+    (cols..., n, <agg_col>_sum)."""
+    from ray.data.aggregate import Count, Sum
+
+    cols = list(cols)
+    frames = []
+    for k in range(len(cols), -1, -1):
+        keys = cols[:k]
+        if keys:
+            part = ds.groupby(keys).aggregate(
+                Count(alias_name="n"),
+                Sum(agg_col, alias_name=f"{agg_col}_sum")).to_pandas()
+        else:
+            row = ds.aggregate(Count(alias_name="n"),
+                               Sum(agg_col, alias_name=f"{agg_col}_sum"))
+            part = pd.DataFrame([row])
+        for c in cols[k:]:
+            part[c] = None
+        frames.append(part[cols + ["n", f"{agg_col}_sum"]])
+    return pd.concat(frames, ignore_index=True)
+
+
+def pivot_avg_cents(ds, *, index: str, pivot_col: str, value_col: str,
+                    values: Sequence[str]):
+    """Wide aggregation: one output row per ``index`` key with an
+    ``avg_<v>`` column per pivot value. Partial per batch: integer cent
+    sums + counts per (index, pivot) — the shuffle moves at most
+    |values|·2 numeric columns per distinct index key per batch; the
+    combine is Sum. Averages are finalized as
+    ``(Σcents / 100) / n`` so they're bit-equal to a SQL oracle using the
+    same expression. Returns a Dataset (index, avg_<v>...)."""
+    from ray.data.aggregate import Sum
+
+    values = list(values)
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        c = np.round(df[value_col].to_numpy(np.float64) * 100)
+        out = pd.DataFrame({index: df[index]})
+        pv = df[pivot_col].to_numpy()
+        for v in values:
+            m = pv == v
+            out[f"_s_{v}"] = np.where(m, c, 0).astype(np.int64)
+            out[f"_n_{v}"] = m.astype(np.int64)
+        return out.groupby(index, as_index=False).sum()
+
+    aggs = []
+    for v in values:
+        aggs += [Sum(f"_s_{v}", alias_name=f"_s_{v}"),
+                 Sum(f"_n_{v}", alias_name=f"_n_{v}")]
+    agg = ds.map_batches(partial, batch_format="pandas") \
+        .groupby(index).aggregate(*aggs)
+
+    def finalize(df: pd.DataFrame) -> pd.DataFrame:
+        out = pd.DataFrame({index: df[index]})
+        for v in values:
+            n = df[f"_n_{v}"].to_numpy(np.float64)
+            s = df[f"_s_{v}"].to_numpy(np.float64)
+            with np.errstate(invalid="ignore", divide="ignore"):
+                a = (s / 100.0) / n
+            out[f"avg_{v}"] = np.where(n > 0, a, np.nan)
+        return out
+
+    return agg.map_batches(finalize, batch_format="pandas")
