@@ -539,6 +539,34 @@ FROM events GROUP BY user_id ORDER BY user_id
 """
 
 
+def _sql_weighted_sample(k: int) -> str:
+    u = (f"({_md5le64_sql('CAST(event_id AS VARCHAR)')})"
+         " / 18446744073709551616.0")
+    return f"""
+WITH s AS (
+  SELECT event_id, value, {u} AS u
+  FROM events WHERE value > 0
+)
+SELECT event_id, value, round(pow(u, 1.0 / value), 6) AS score
+FROM s ORDER BY pow(u, 1.0 / value) DESC, event_id LIMIT {k}
+"""
+
+
+_SQL_LAG_DELTAS = """
+SELECT event_id, user_id,
+       (round(value * 100) - lag(round(value * 100)) OVER
+        (PARTITION BY user_id ORDER BY ts, event_id)) / 100.0 AS delta
+FROM events ORDER BY event_id
+"""
+
+_SQL_INTERSECT_USERS = """
+SELECT DISTINCT user_id FROM events WHERE event_type = 'click'
+INTERSECT
+SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase'
+ORDER BY user_id
+"""
+
+
 def _sql_corpus_curation(lang: str = "en", min_words: int = 20,
                          threshold: float = 0.3) -> str:
     """The full curation pipeline as one statement: language+length
@@ -1042,6 +1070,58 @@ def _q_pivot_events(sf_dir: str):
                          columns=["user_id", "event_type", "value"])
     out = pivot_avg_cents(ds, index="user_id", pivot_col="event_type",
                           value_col="value", values=_PIVOT_TYPES).to_pandas()
+    return out.sort_values("user_id").reset_index(drop=True)
+
+
+def _q_weighted_sample(sf_dir: str):
+    """Deterministic A-Res weighted sample of events by value
+    (ops/sampling.py): per-batch top-k candidates, tiny driver merge."""
+    import ray.data as rd
+
+    from etl_ray.ops.sampling import weighted_sample
+
+    ds = rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                         columns=["event_id", "value"])
+    out = weighted_sample(ds, key_col="event_id", weight_col="value",
+                          k=50)
+    return out.sort_values("event_id").reset_index(drop=True)
+
+
+def _q_lag_deltas(sf_dir: str):
+    """Per-user successive value deltas (SQL lag window analog,
+    ops/windows.py)."""
+    import ray.data as rd
+
+    from etl_ray.ops.windows import lag_delta
+
+    ds = rd.read_parquet(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["event_id", "user_id", "ts", "value"])
+    out = lag_delta(ds, key_col="user_id", ts_col="ts",
+                    value_col="value", order_col="event_id").to_pandas()
+    return out.sort_values("event_id").reset_index(drop=True)
+
+
+def _q_intersect_users(sf_dir: str):
+    """Users with BOTH click and purchase events: distinct-key intersect
+    (ops/joins.py)."""
+    import pyarrow.compute as pc
+    import ray.data as rd
+
+    from etl_ray.ops.joins import intersect_keys
+
+    ev = rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                         columns=["user_id", "event_type"])
+
+    def typed(t):
+        def f(tb):
+            return tb.filter(pc.equal(tb["event_type"], t)) \
+                .select(["user_id"])
+        return f
+
+    clicks = ev.map_batches(typed("click"), batch_format="pyarrow")
+    buys = ev.map_batches(typed("purchase"), batch_format="pyarrow")
+    out = intersect_keys(clicks, buys, on="user_id").to_pandas()
     return out.sort_values("user_id").reset_index(drop=True)
 
 
@@ -1751,6 +1831,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "grouped_quantiles": _q_grouped_quantiles,
         "rollup_docs": _q_rollup_docs,
         "pivot_events": _q_pivot_events,
+        "weighted_sample": _q_weighted_sample,
+        "lag_deltas": _q_lag_deltas,
+        "intersect_users": _q_intersect_users,
         "dedup_simhash": _q_dedup_simhash,
         "dedup_embedding_cosine": _q_dedup_embedding,
         "dedup_lsh_embedding": _q_dedup_lsh_embedding,
@@ -2347,6 +2430,9 @@ FROM toks WHERE token <> '' GROUP BY token ORDER BY token
         "grouped_quantiles": _sql_grouped_quantiles(_GQ_QS),
         "rollup_docs": _SQL_ROLLUP_DOCS,
         "pivot_events": _sql_pivot_events(_PIVOT_TYPES),
+        "weighted_sample": _sql_weighted_sample(50),
+        "lag_deltas": _SQL_LAG_DELTAS,
+        "intersect_users": _SQL_INTERSECT_USERS,
         "dedup_simhash": _sql_dedup_simhash(10),
         "dedup_lsh_embedding": _sql_dedup_lsh_embedding(6, _EMB_THRESHOLD),
         "lang_id": _sql_lang_id(),

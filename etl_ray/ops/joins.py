@@ -449,6 +449,26 @@ def anti_join(left, right, *, on: str, right_on: Optional[str] = None,
     return joined.map_batches(miss_only, batch_format="pyarrow")
 
 
+def intersect_keys(left, right, *, on: str, right_on: Optional[str] = None,
+                   num_partitions: int = 8):
+    """DISTINCT keys present on BOTH sides (SQL INTERSECT on a key
+    column). Both sides collapse to distinct keys per batch before the
+    single hash join — the exchange moves only distinct keys."""
+    from etl_ray.ops.components import _JOIN_KW, _nonempty
+
+    lk = _nonempty(_distinct_keys(left, on, on))
+    rk = _nonempty(_distinct_keys(right, right_on or on, "__ik"))
+    joined = lk.join(rk, on=(on,), right_on=("__ik",),
+                     num_partitions=num_partitions, **_JOIN_KW)
+
+    def tidy(t: pa.Table) -> pa.Table:
+        if "__ik" in t.column_names:
+            return t.drop_columns(["__ik"])
+        return t
+
+    return joined.map_batches(tidy, batch_format="pyarrow")
+
+
 def broadcast_semi_join(left, key_values, *, on: str, keep: bool = True):
     """Key set broadcast via ``ray.put``; one vectorized ``isin`` per
     batch, zero shuffle. ``keep=False`` turns it into an anti join."""

@@ -89,3 +89,44 @@ def split_train_holdout(ds, *, key_col: str, holdout_rate: float,
 
     return (ds.map_batches(side(False), batch_format="pyarrow"),
             ds.map_batches(side(True), batch_format="pyarrow"))
+
+
+def weighted_sample(ds, *, key_col: str, weight_col: str, k: int,
+                    seed: str = "", round_to: int = 6) -> pd.DataFrame:
+    """Deterministic weighted sampling WITHOUT replacement
+    (Efraimidis–Spirakis A-Res): each row scores
+    ``u ** (1 / w)`` with ``u = md5le64(seed + key) / 2**64``; the sample
+    is the global top-k by score. Hash-derived u makes the draw a pure
+    per-row function — reproducible, partition-independent, and
+    SQL-reproducible (pow + the md5 fold).
+
+    Scale shape: each batch keeps only its local top-k candidates
+    (argpartition, no sort), so the driver-side merge sees at most
+    k × n_blocks small rows. Rows with non-positive weight are excluded
+    (their inclusion probability is 0)."""
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        w = df[weight_col].to_numpy(np.float64)
+        ok = w > 0
+        df, w = df[ok], w[ok]
+        if len(df) == 0:
+            return pd.DataFrame({key_col: pd.Series([], dtype=object),
+                                 weight_col: pd.Series([], dtype=float),
+                                 "score": pd.Series([], dtype=float)})
+        keys = df[key_col].astype(str)
+        if seed:
+            keys = seed + keys
+        u = md5le64(keys.to_numpy()).astype(np.float64) / float(1 << 64)
+        score = u ** (1.0 / w)
+        if len(df) > k:
+            idx = np.argpartition(score, -k)[-k:]
+        else:
+            idx = np.arange(len(df))
+        return pd.DataFrame({key_col: df[key_col].to_numpy()[idx],
+                             weight_col: w[idx], "score": score[idx]})
+
+    cand = ds.map_batches(partial, batch_format="pandas").to_pandas()
+    out = cand.sort_values(["score", key_col],
+                           ascending=[False, True]).head(k)
+    out["score"] = out["score"].round(round_to)
+    return out.reset_index(drop=True)

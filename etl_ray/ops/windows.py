@@ -77,6 +77,25 @@ def rolling_stats(ds, *, key_col: str = "user_id", ts_col: str = "ts",
     return ds.groupby(key_col).map_groups(per_key, batch_format="pandas")
 
 
+def lag_delta(ds, *, key_col: str = "user_id", ts_col: str = "ts",
+              value_col: str = "value", order_col: str = "event_id"):
+    """Per-key successive difference (SQL ``value - lag(value) OVER
+    (PARTITION BY key ORDER BY ts, order)``): the first event of each key
+    gets a null delta. Integer-cents subtraction keeps the doubles
+    bit-equal to the oracle's."""
+
+    def per_key(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values([ts_col, order_col]).reset_index(drop=True)
+        c = pd.Series(np.round(g[value_col].to_numpy(np.float64) * 100))
+        return pd.DataFrame({
+            key_col: g[key_col],
+            order_col: g[order_col],
+            "delta": (c - c.shift(1)) / 100.0,
+        })
+
+    return ds.groupby(key_col).map_groups(per_key, batch_format="pandas")
+
+
 def tumbling_window(ds, *, key_col: str = "user_id", ts_col: str = "ts",
                     value_col: str = "value", freq: str = "h"):
     """Tumbling event-time window (partial agg inside map_batches before the
