@@ -943,6 +943,39 @@ def _q_value_quantiles(sf_dir: str):
     return exact_quantiles(ds, col="value", qs=_QUANTILE_QS)
 
 
+def _q_approx_quantiles(sf_dir: str):
+    """Approximate quantiles from a deterministic KMV bottom-k hash
+    sample (ops/stats.py) — the no-global-sort scale path; exactly
+    reproducible, hence SQL-oracled."""
+    import ray.data as rd
+
+    from etl_ray.ops.stats import kmv_quantiles
+
+    ds = rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                         columns=["event_id", "value"])
+    return kmv_quantiles(ds, key_col="event_id", col="value",
+                         qs=_QUANTILE_QS, m=4096)
+
+
+def _sql_approx_quantiles(qs, m: int) -> str:
+    h = _md5le64_sql("CAST(event_id AS VARCHAR)")
+    arms = "\nUNION ALL\n".join(
+        f"SELECT {q}::DOUBLE AS q, percentile_disc({q}::DOUBLE)"
+        f" WITHIN GROUP (ORDER BY value) AS value FROM s"
+        for q in qs)
+    return f"""
+WITH s AS (
+  SELECT value FROM (
+    SELECT value, ({h}) AS h
+    FROM events WHERE value IS NOT NULL
+    ORDER BY h LIMIT {m}
+  )
+)
+{arms}
+ORDER BY q
+"""
+
+
 def _q_anti_join(sf_dir: str):
     """Customers with no URGENT orders: shuffle anti-join (distinct right
     keys + left_outer + null filter, ops/joins.py)."""
@@ -1823,6 +1856,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "corpus_curation": _q_corpus_curation,
         "value_histogram": _q_value_histogram,
         "value_quantiles": _q_value_quantiles,
+        "approx_quantiles": _q_approx_quantiles,
         "anti_join_customers": _q_anti_join,
         "semi_join_parts": _q_semi_join,
         "token_bigrams": _q_token_bigrams,
@@ -2422,6 +2456,7 @@ FROM toks WHERE token <> '' GROUP BY token ORDER BY token
         "corpus_curation": _sql_corpus_curation("en", 20, 0.3),
         "value_histogram": _sql_value_histogram(0.0, 400.0, 20),
         "value_quantiles": _sql_value_quantiles(_QUANTILE_QS),
+        "approx_quantiles": _sql_approx_quantiles(_QUANTILE_QS, 4096),
         "anti_join_customers": _SQL_ANTI_JOIN,
         "semi_join_parts": _SQL_SEMI_JOIN,
         "token_bigrams": _sql_token_bigrams(3),

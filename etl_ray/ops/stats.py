@@ -99,6 +99,46 @@ def exact_quantiles(ds, *, col: str, qs: Sequence[float]) -> pd.DataFrame:
                          "value": [values[r] for r in ranks]})
 
 
+def kmv_quantiles(ds, *, key_col: str, col: str, qs: Sequence[float],
+                  m: int = 4096, seed: str = "") -> pd.DataFrame:
+    """Approximate quantiles via a deterministic KMV (bottom-k) sample:
+    keep the ``m`` rows with the SMALLEST ``md5le64(seed + key)`` — a
+    uniform hash-rank sample — then take exact percentile_disc over the
+    sample. Error is O(1/sqrt(m)) in rank, yet the result is EXACTLY
+    reproducible (same rows every run, any partitioning), so it is
+    SQL-oracle-checkable, unlike randomized sketches.
+
+    This is the 100 TB path where exact_quantiles' full distributed sort
+    is too expensive: each batch keeps its local bottom-m (argpartition),
+    the combine is a bottom-m of at most m x n_blocks candidate rows —
+    mergeable, no shuffle of data rows."""
+    from etl_ray.ops.dedup import md5le64
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        v = df[col].to_numpy(np.float64)
+        ok = ~np.isnan(v)
+        df, v = df[ok], v[ok]
+        if len(df) == 0:
+            return pd.DataFrame({"h": pd.Series([], dtype=np.uint64),
+                                 col: pd.Series([], dtype=float)})
+        keys = df[key_col].astype(str)
+        if seed:
+            keys = seed + keys
+        h = md5le64(keys.to_numpy())
+        if len(df) > m:
+            idx = np.argpartition(h, m)[:m]
+            h, v = h[idx], v[idx]
+        return pd.DataFrame({"h": h, col: v})
+
+    cand = ds.map_batches(partial, batch_format="pandas").to_pandas()
+    cand = cand.nsmallest(m, "h") if len(cand) > m else cand
+    v = np.sort(cand[col].to_numpy(np.float64))
+    n = len(v)
+    vals = [v[max(0, min(n - 1, math.ceil(q * n) - 1))] if n else None
+            for q in qs]
+    return pd.DataFrame({"q": list(qs), "value": vals})
+
+
 def group_moments_cents(ds, *, col: str, by: str):
     """Per-group (n, Σcents, Σcents²) where cents = round(col·100) as
     int64. Integer partial sums make the downstream mean/variance doubles

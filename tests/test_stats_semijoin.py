@@ -67,6 +67,34 @@ def test_exact_quantiles_all_null_and_empty():
     assert out["value"].tolist() == [None]
 
 
+@pytest.mark.usefixtures("ray_session")
+def test_kmv_quantiles_accurate_and_partition_independent():
+    from etl_ray.ops.stats import kmv_quantiles
+
+    rng = np.random.default_rng(11)
+    df = pd.DataFrame({"k": np.arange(20000),
+                       "v": rng.normal(100, 15, 20000)})
+    qs = [0.25, 0.5, 0.9]
+    a = kmv_quantiles(_ds_from(df), key_col="k", col="v", qs=qs, m=2048)
+    b = kmv_quantiles(_ds_from(df).repartition(9), key_col="k", col="v",
+                      qs=qs, m=2048)
+    pd.testing.assert_frame_equal(a, b)  # deterministic under partitioning
+    exact = np.quantile(df["v"], qs)
+    # rank error O(1/sqrt(m)); with m=2048 value error stays small here
+    assert np.allclose(a["value"], exact, atol=1.5)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_kmv_quantiles_small_input_is_exact():
+    from etl_ray.ops.stats import kmv_quantiles
+
+    df = pd.DataFrame({"k": np.arange(100),
+                       "v": np.arange(1, 101, dtype=float)})
+    out = kmv_quantiles(_ds_from(df), key_col="k", col="v",
+                        qs=[0.5, 1.0], m=4096)
+    assert out["value"].tolist() == [50.0, 100.0]  # sample == population
+
+
 # ------------------------------------------------------------ semi / anti
 @pytest.mark.usefixtures("ray_session")
 def test_semi_join_no_duplication():
