@@ -1158,6 +1158,30 @@ def _q_intersect_users(sf_dir: str):
     return out.sort_values("user_id").reset_index(drop=True)
 
 
+def _q_fuzzy_name_pairs(sf_dir: str):
+    """Customer-name pairs within Levenshtein distance 1: lossless FastSS
+    deletion-neighborhood blocking + capped self-join + vectorized verify
+    (ops/fuzzyjoin.py)."""
+    import ray.data as rd
+
+    from etl_ray.ops.fuzzyjoin import edit1_pairs
+
+    cust = rd.read_parquet(os.path.join(sf_dir, "customer.parquet"),
+                           columns=["c_custkey", "c_name"])
+    out = edit1_pairs(cust, id_col="c_custkey",
+                      text_col="c_name").to_pandas()
+    return out.sort_values(["id_a", "id_b"]).reset_index(drop=True)
+
+
+_SQL_FUZZY_NAME_PAIRS = """
+SELECT a.c_custkey AS id_a, b.c_custkey AS id_b,
+       CAST(levenshtein(a.c_name, b.c_name) AS BIGINT) AS dist
+FROM customer a JOIN customer b ON a.c_custkey < b.c_custkey
+WHERE levenshtein(a.c_name, b.c_name) <= 1
+ORDER BY id_a, id_b
+"""
+
+
 def _q_corpus_curation(sf_dir: str):
     """Flagship curation composite: lang filter + length filter + near-dup
     cluster drop (etl_ray/pipelines/curation.py)."""
@@ -1868,6 +1892,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "weighted_sample": _q_weighted_sample,
         "lag_deltas": _q_lag_deltas,
         "intersect_users": _q_intersect_users,
+        "fuzzy_name_pairs": _q_fuzzy_name_pairs,
         "dedup_simhash": _q_dedup_simhash,
         "dedup_embedding_cosine": _q_dedup_embedding,
         "dedup_lsh_embedding": _q_dedup_lsh_embedding,
@@ -2468,6 +2493,7 @@ FROM toks WHERE token <> '' GROUP BY token ORDER BY token
         "weighted_sample": _sql_weighted_sample(50),
         "lag_deltas": _SQL_LAG_DELTAS,
         "intersect_users": _SQL_INTERSECT_USERS,
+        "fuzzy_name_pairs": _SQL_FUZZY_NAME_PAIRS,
         "dedup_simhash": _sql_dedup_simhash(10),
         "dedup_lsh_embedding": _sql_dedup_lsh_embedding(6, _EMB_THRESHOLD),
         "lang_id": _sql_lang_id(),
