@@ -624,6 +624,24 @@ FROM parts GROUP BY bucket ORDER BY bucket
 """
 
 
+def _sql_grouped_hll(p: int = 8) -> str:
+    """Per-event-type HLL registers (cell-exact, like _sql_hll_registers)."""
+    h = _md5le64_sql("CAST(user_id AS VARCHAR)")
+    mask = (1 << (64 - p)) - 1
+    return f"""
+WITH hashes AS (SELECT event_type, {h} AS h FROM events),
+parts AS (
+  SELECT event_type, CAST(h >> {64 - p} AS BIGINT) AS bucket,
+         h & {mask} AS rem
+  FROM hashes
+)
+SELECT event_type, bucket,
+       max({64 - p} - CASE WHEN rem = 0 THEN 0
+                      ELSE length(bin(rem)) END + 1) AS rho
+FROM parts GROUP BY event_type, bucket ORDER BY event_type, bucket
+"""
+
+
 def _sql_bloom_bits(m: int = 4096, k: int = 4) -> str:
     selects = []
     for i in range(k):
@@ -1156,6 +1174,20 @@ def _q_intersect_users(sf_dir: str):
     buys = ev.map_batches(typed("purchase"), batch_format="pyarrow")
     out = intersect_keys(clicks, buys, on="user_id").to_pandas()
     return out.sort_values("user_id").reset_index(drop=True)
+
+
+def _q_grouped_hll(sf_dir: str):
+    """Approx distinct users PER event type: grouped HLL registers,
+    cell-exact vs the SQL emulation (ops/sketches.py)."""
+    import ray.data as rd
+
+    from etl_ray.ops.sketches import grouped_hll_registers
+
+    ds = rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                         columns=["user_id", "event_type"])
+    out = grouped_hll_registers(ds, "user_id", by="event_type",
+                                p=8).to_pandas()
+    return out.sort_values(["event_type", "bucket"]).reset_index(drop=True)
 
 
 def _q_fuzzy_name_pairs(sf_dir: str):
@@ -1893,6 +1925,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lag_deltas": _q_lag_deltas,
         "intersect_users": _q_intersect_users,
         "fuzzy_name_pairs": _q_fuzzy_name_pairs,
+        "grouped_hll": _q_grouped_hll,
         "dedup_simhash": _q_dedup_simhash,
         "dedup_embedding_cosine": _q_dedup_embedding,
         "dedup_lsh_embedding": _q_dedup_lsh_embedding,
@@ -2494,6 +2527,7 @@ FROM toks WHERE token <> '' GROUP BY token ORDER BY token
         "lag_deltas": _SQL_LAG_DELTAS,
         "intersect_users": _SQL_INTERSECT_USERS,
         "fuzzy_name_pairs": _SQL_FUZZY_NAME_PAIRS,
+        "grouped_hll": _sql_grouped_hll(8),
         "dedup_simhash": _sql_dedup_simhash(10),
         "dedup_lsh_embedding": _sql_dedup_lsh_embedding(6, _EMB_THRESHOLD),
         "lang_id": _sql_lang_id(),

@@ -64,6 +64,40 @@ def hll_registers(ds, col: str, *, p: int = 8):
     )
 
 
+def grouped_hll_registers(ds, col: str, *, by: str, p: int = 8):
+    """Per-group HLL register tables: (by, bucket, rho), pre-maxed within
+    each batch so the shuffle moves at most |groups|·2^p rows per batch.
+    The per-key mergeable-sketch shape (approx distinct per stratum)."""
+    from ray.data.aggregate import Max
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        h = md5le64(df[col].astype(str).to_numpy(dtype=object))
+        if len(h) == 0:
+            return pd.DataFrame({by: pd.Series([], dtype=object),
+                                 "bucket": pd.Series([], dtype="int64"),
+                                 "rho": pd.Series([], dtype="int64")})
+        bucket = (h >> np.uint64(64 - p)).astype(np.int64)
+        rem = h & np.uint64((1 << (64 - p)) - 1)
+        rho = (64 - p) - _bit_length64(rem) + 1
+        out = pd.DataFrame({by: df[by].to_numpy(), "bucket": bucket,
+                            "rho": rho})
+        return out.groupby([by, "bucket"], as_index=False)["rho"].max()
+
+    return (
+        ds.map_batches(partial, batch_format="pandas")
+        .groupby([by, "bucket"])
+        .aggregate(Max("rho", alias_name="rho"))
+    )
+
+
+def grouped_hll_estimates(registers: pd.DataFrame, *, by: str,
+                          p: int = 8) -> pd.DataFrame:
+    """(by, estimate) from a grouped register table."""
+    rows = [(k, hll_estimate(g, p))
+            for k, g in registers.groupby(by, sort=True)]
+    return pd.DataFrame(rows, columns=[by, "estimate"])
+
+
 def hll_estimate(registers: pd.DataFrame, p: int = 8) -> float:
     """Standard HLL estimator (bias-corrected for the small range) from a
     (bucket, rho) register table."""

@@ -95,3 +95,34 @@ def test_token_histogram_matches_collections_counter():
     out = token_histogram(ds).to_pandas().set_index("token")["n"].to_dict()
     exp = collections.Counter(" ".join(texts).split())
     assert out == dict(exp)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_grouped_hll_registers_match_per_group_hll():
+    """Grouped registers must equal running plain hll_registers on each
+    group separately; estimates land within HLL's error envelope."""
+    import ray.data as rd
+
+    from etl_ray.ops.sketches import (grouped_hll_estimates,
+                                      grouped_hll_registers, hll_partial)
+
+    rng = np.random.default_rng(9)
+    df = pd.DataFrame({
+        "g": rng.choice(["a", "b"], 5000),
+        "v": rng.integers(0, 800, 5000),
+    })
+    import pyarrow as _pa
+    ds = rd.from_arrow(_pa.Table.from_pandas(df))
+    regs = grouped_hll_registers(ds, "v", by="g", p=8).to_pandas()
+    for g, sub in df.groupby("g"):
+        exp = hll_partial(sub["v"].astype(str).to_numpy(dtype=object), 8)
+        got = regs[regs["g"] == g][["bucket", "rho"]] \
+            .sort_values("bucket").reset_index(drop=True)
+        pd.testing.assert_frame_equal(
+            got, exp.sort_values("bucket").reset_index(drop=True),
+            check_dtype=False)
+    est = grouped_hll_estimates(regs, by="g", p=8)
+    for g, sub in df.groupby("g"):
+        truth = sub["v"].nunique()
+        e = float(est[est["g"] == g]["estimate"].iloc[0])
+        assert abs(e - truth) / truth < 0.15
