@@ -1176,6 +1176,109 @@ def _q_intersect_users(sf_dir: str):
     return out.sort_values("user_id").reset_index(drop=True)
 
 
+def _q_bigram_lm_scores(sf_dir: str):
+    """Per-doc bigram-LM quality score: mean ln p(w2|w1) under corpus
+    counts (ops/ngrams.py) — the perplexity-style curation filter."""
+    import ray.data as rd
+
+    from etl_ray.ops.ngrams import bigram_lm_scores
+
+    ds = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                         columns=["doc_id", "text"])
+    return bigram_lm_scores(ds, id_col="doc_id", text_col="text",
+                            round_to=4)
+
+
+_SQL_BIGRAM_LM = r"""
+WITH toksd AS (
+  SELECT doc_id,
+         regexp_split_to_array(trim(coalesce(text, '')), '\s+') AS w
+  FROM documents WHERE trim(coalesce(text, '')) <> ''
+),
+uni AS (
+  SELECT token, count(*) AS n
+  FROM (SELECT unnest(w) AS token FROM toksd) GROUP BY token
+),
+ex AS (
+  SELECT doc_id, w, unnest(generate_series(1, len(w) - 1)) AS i
+  FROM toksd WHERE len(w) >= 2
+),
+pairs AS (SELECT doc_id, w[i] AS w1, w[i + 1] AS w2 FROM ex),
+big AS (SELECT w1, w2, count(*) AS n FROM pairs GROUP BY w1, w2)
+SELECT p.doc_id, count(*) AS n_pairs,
+       round(avg(ln(CAST(b.n AS DOUBLE) / CAST(u.n AS DOUBLE))), 4)
+         AS lm_score
+FROM pairs p
+JOIN big b ON p.w1 = b.w1 AND p.w2 = b.w2
+JOIN uni u ON u.token = p.w1
+GROUP BY p.doc_id ORDER BY p.doc_id
+"""
+
+
+def _q_revenue_by_nation(sf_dir: str):
+    """Star-schema rollup with a combiner-before-join plan: lineitem
+    revenue pre-aggregated per order (shuffle moves one row per distinct
+    orderkey per batch), ONE hash join against orders, dimensions
+    (customer x nation) broadcast, tiny final groupby."""
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    from etl_ray.ops.components import _JOIN_KW, _nonempty
+    from etl_ray.ops.joins import broadcast_join
+
+    li = rd.read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_orderkey", "l_extendedprice", "l_discount"])
+
+    def per_order(df: pd.DataFrame) -> pd.DataFrame:
+        cents = (np.round(df["l_extendedprice"].to_numpy(np.float64) * 100)
+                 .astype(np.int64)
+                 * (10000 - np.round(df["l_discount"].to_numpy(np.float64)
+                                     * 10000).astype(np.int64)))
+        out = pd.DataFrame({"l_orderkey": df["l_orderkey"],
+                            "_rev": cents})
+        return out.groupby("l_orderkey", as_index=False).sum()
+
+    li_agg = li.map_batches(per_order, batch_format="pandas") \
+        .groupby("l_orderkey").aggregate(Sum("_rev", alias_name="_rev"))
+
+    orders = rd.read_parquet(os.path.join(sf_dir, "orders.parquet"),
+                             columns=["o_orderkey", "o_custkey"])
+    joined = _nonempty(li_agg).join(
+        _nonempty(orders), on=("l_orderkey",), right_on=("o_orderkey",),
+        num_partitions=8, **_JOIN_KW)
+
+    cust = pd.read_parquet(os.path.join(sf_dir, "customer.parquet"),
+                           columns=["c_custkey", "c_nationkey"])
+    nat = pd.read_parquet(os.path.join(sf_dir, "nation.parquet"),
+                          columns=["n_nationkey", "n_name"])
+    lookup = cust.merge(nat, left_on="c_nationkey",
+                        right_on="n_nationkey")[["c_custkey", "n_name"]] \
+        .rename(columns={"n_name": "nation"})
+    enriched = broadcast_join(joined, lookup, left_on="o_custkey",
+                              right_on="c_custkey", columns=["nation"])
+    agg = enriched.groupby("nation") \
+        .aggregate(Sum("_rev", alias_name="_rev")).to_pandas()
+    agg["revenue"] = agg["_rev"].to_numpy(np.float64) / 1_000_000.0
+    return agg[["nation", "revenue"]].sort_values("nation") \
+        .reset_index(drop=True)
+
+
+_SQL_REVENUE_BY_NATION = """
+SELECT n.n_name AS nation,
+       CAST(sum(CAST(round(l.l_extendedprice * 100) AS BIGINT)
+                * (10000 - CAST(round(l.l_discount * 10000) AS BIGINT)))
+            AS DOUBLE) / 1000000.0 AS revenue
+FROM lineitem l
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+GROUP BY n.n_name ORDER BY nation
+"""
+
+
 def _q_grouped_hll(sf_dir: str):
     """Approx distinct users PER event type: grouped HLL registers,
     cell-exact vs the SQL emulation (ops/sketches.py)."""
@@ -1926,6 +2029,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "intersect_users": _q_intersect_users,
         "fuzzy_name_pairs": _q_fuzzy_name_pairs,
         "grouped_hll": _q_grouped_hll,
+        "revenue_by_nation": _q_revenue_by_nation,
+        "bigram_lm_scores": _q_bigram_lm_scores,
         "dedup_simhash": _q_dedup_simhash,
         "dedup_embedding_cosine": _q_dedup_embedding,
         "dedup_lsh_embedding": _q_dedup_lsh_embedding,
@@ -2528,6 +2633,8 @@ FROM toks WHERE token <> '' GROUP BY token ORDER BY token
         "intersect_users": _SQL_INTERSECT_USERS,
         "fuzzy_name_pairs": _SQL_FUZZY_NAME_PAIRS,
         "grouped_hll": _sql_grouped_hll(8),
+        "revenue_by_nation": _SQL_REVENUE_BY_NATION,
+        "bigram_lm_scores": _SQL_BIGRAM_LM,
         "dedup_simhash": _sql_dedup_simhash(10),
         "dedup_lsh_embedding": _sql_dedup_lsh_embedding(6, _EMB_THRESHOLD),
         "lang_id": _sql_lang_id(),

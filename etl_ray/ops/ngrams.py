@@ -77,6 +77,67 @@ def unigram_counts(ds, *, text_col: str = "text"):
     return token_histogram(ds, text_col=text_col)
 
 
+def bigram_lm_scores(ds, *, id_col: str = "doc_id",
+                     text_col: str = "text", round_to: int = 4,
+                     max_broadcast_pairs: int = 5_000_000):
+    """Per-document n-gram language-model quality score: the mean
+    ``ln(p(w2 | w1))`` over the document's adjacent pairs, with
+    ``p(w2|w1) = n(w1,w2) / n(w1)`` estimated from the corpus itself.
+    The curation primitive behind perplexity-style filtering — documents
+    whose word transitions are rare in the corpus score low.
+
+    Two passes: (1) corpus bigram+unigram counts (distributed, see
+    bigram_counts); (2) stateless per-batch scoring against the counts
+    broadcast once via ``ray.put`` — the per-batch join is a vectorized
+    pandas hash merge, no per-pair Python lookup. Documents with fewer
+    than 2 tokens are skipped (no transitions to score).
+    Returns a pandas DataFrame (id_col, n_pairs, lm_score)."""
+    import ray
+
+    big = bigram_counts(ds, text_col=text_col).to_pandas()
+    if len(big) > max_broadcast_pairs:
+        raise ValueError(
+            f"bigram table {len(big)} exceeds max_broadcast_pairs "
+            f"{max_broadcast_pairs}; score by joining pair datasets "
+            "instead of broadcasting")
+    uni = unigram_counts(ds, text_col=text_col).to_pandas()
+    big_ref = ray.put(big)
+    uni_ref = ray.put(dict(zip(uni["token"], uni["n"].astype(np.int64))))
+
+    def score(df: pd.DataFrame) -> pd.DataFrame:
+        bt = ray.get(big_ref)
+        ut = ray.get(uni_ref)
+        s = df[text_col].astype(str).str.split()
+        lens = s.str.len().fillna(0).to_numpy(dtype=np.int64)
+        keep = lens >= 2
+        empty = pd.DataFrame({
+            id_col: pd.Series([], dtype=df[id_col].dtype),
+            "n_pairs": pd.Series([], dtype="int64"),
+            "lm_score": pd.Series([], dtype="float64")})
+        if not keep.any():
+            return empty
+        ids, s2, lens2 = df[id_col].to_numpy()[keep], s[keep], lens[keep]
+        flat = s2.explode().to_numpy()
+        ends = np.cumsum(lens2)
+        valid = np.ones(len(flat) - 1, dtype=bool)
+        valid[ends[:-1] - 1] = False
+        doc_of = np.repeat(np.arange(len(ids)), lens2)[:-1][valid]
+        pairs = pd.DataFrame({"w1": flat[:-1][valid],
+                              "w2": flat[1:][valid], "_d": doc_of})
+        m = pairs.merge(bt, on=["w1", "w2"], how="left")
+        nx = pairs["w1"].map(ut).to_numpy(np.float64)
+        lp = np.log(m["n"].to_numpy(np.float64) / nx)
+        g = pd.DataFrame({"_d": pairs["_d"], "lp": lp}) \
+            .groupby("_d", sort=True)["lp"].agg(["count", "mean"])
+        return pd.DataFrame({
+            id_col: ids[g.index.to_numpy()],
+            "n_pairs": g["count"].to_numpy(np.int64),
+            "lm_score": np.round(g["mean"].to_numpy(), round_to)})
+
+    out = ds.map_batches(score, batch_format="pandas").to_pandas()
+    return out.sort_values(id_col).reset_index(drop=True)
+
+
 def pmi_bigrams(ds, *, text_col: str = "text", min_count: int = 2,
                 round_to: int = 4, max_broadcast_vocab: int = 2_000_000):
     """Pointwise mutual information per bigram:

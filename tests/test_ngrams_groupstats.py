@@ -51,6 +51,21 @@ def test_pmi_matches_closed_form():
     assert got == {("a", "b"): exp_ab, ("a", "c"): exp_ac}
 
 
+@pytest.mark.usefixtures("ray_session")
+def test_bigram_lm_scores_closed_form():
+    from etl_ray.ops.ngrams import bigram_lm_scores
+
+    df = pd.DataFrame({"doc_id": [1, 2, 3, 4],
+                       "text": ["a b", "a b", "a c", "z"]})
+    out = bigram_lm_scores(_ds_from(df), id_col="doc_id", text_col="text")
+    # n(a)=3; n(a,b)=2, n(a,c)=1 → scores ln(2/3) and ln(1/3)
+    got = dict(zip(out["doc_id"], out["lm_score"]))
+    assert got[1] == got[2] == round(math.log(2 / 3), 4)
+    assert got[3] == round(math.log(1 / 3), 4)
+    assert 4 not in got  # single-token doc has no transitions
+    assert out["n_pairs"].tolist() == [1, 1, 1]
+
+
 # ---------------------------------------------------------------- zscore
 @pytest.mark.usefixtures("ray_session")
 def test_group_zscore_mean_zero_unit_variance():
