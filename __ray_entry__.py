@@ -881,6 +881,24 @@ def _q_cdc_time_travel(sf_dir: str):
     )
 
 
+def _q_cdc_recover(sf_dir: str):
+    """Dead-letter recovery: replay with a strict validity rule (value>300
+    quarantined), then recover the quarantine under a loosened rule
+    (value>600) — newly-valid events re-enter LWW with their ORIGINAL
+    sequence numbers, still-invalid rows become the replacement quarantine.
+    The reference's fix-parser-then-reprocess lifecycle
+    (/root/reference/etl/etl.go TaskError → task retry) lifted to rows."""
+    from etl_ray.config import EngineConfig
+    from etl_ray.pipelines import analogs as A
+    from etl_ray.pipelines.replay import recover_quarantine
+
+    _, lake, _ = _replay_events(sf_dir, tag="recover", quarantine_over=300.0)
+    cfg = EngineConfig(num_partitions=8, apply_concurrency=None,
+                       payload=A.events_payload(600.0))
+    recover_quarantine(lake, cfg)
+    return A.lake_final_state(lake)
+
+
 def _q_pt_pollution(sf_dir: str):
     """Pollution-buffer flags (reference parser/pt.go:627-669 analog)."""
     from etl_ray.pipelines.telemetry import pt_pollution
@@ -1995,6 +2013,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cdc_replay_retraction": _q_cdc_replay_retraction,
         "cdc_replay_corrected": _q_cdc_replay_corrected,
         "cdc_time_travel": _q_cdc_time_travel,
+        "cdc_recover": _q_cdc_recover,
         "pt_pollution": _q_pt_pollution,
         # parser analogs (SURVEY.md §2.3-2.5, §2.8)
         "switch_group_agg": A.switch_group_agg,
@@ -2091,6 +2110,21 @@ ORDER BY doc_id
         "cdc_replay_salted": lww,
         "cdc_replay_compacted": lww,
         "cdc_replay_evolution": evo,
+        "cdc_recover": """
+WITH c AS (
+  SELECT CAST(user_id AS VARCHAR) AS doc_id, event_id AS last_seq,
+         value, event_type,
+         CASE WHEN event_type = 'error' THEN 'delete' ELSE 'insert' END AS op
+  FROM events
+  WHERE event_type = 'error' OR value IS NULL OR value <= 600
+), r AS (
+  SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY last_seq DESC) rn
+  FROM c
+)
+SELECT doc_id, last_seq, value, event_type
+FROM r WHERE rn = 1 AND op <> 'delete'
+ORDER BY doc_id
+""",
         "cdc_quarantine": """
 SELECT event_id, CAST(user_id AS VARCHAR) AS doc_id, value
 FROM events WHERE event_type <> 'error' AND value > 300

@@ -322,6 +322,123 @@ def replay_once(
     return cs
 
 
+def recover_quarantine(
+    lake_dir: str,
+    config: EngineConfig,
+) -> Optional[CommitStats]:
+    """Dead-letter replay: re-validate the quarantine under the CURRENT
+    config and apply newly-valid events as a normal exactly-once commit.
+
+    The lifecycle the reference lives by — archives that failed a parser
+    are reprocessed after the parser is fixed (task retry path,
+    /root/reference/etl/etl.go TaskError semantics) — lifted to rows:
+    quarantine rows, land a correction rule (EngineConfig.corrections),
+    recover. Still-invalid rows become the NEW quarantine (the old files
+    stay referenced by manifest history for time travel); recovered
+    events participate in LWW with their original sequence numbers, so a
+    recovered event that was the latest write wins exactly as if it had
+    never been quarantined. ``applied_through_segment`` is untouched.
+    Returns None (and leaves the manifest unflipped) when nothing
+    becomes valid."""
+    import ray
+    import ray.data as rd
+
+    t0 = time.monotonic()
+    manifest = Manifest.load(lake_dir)
+    if not manifest.quarantine_files:
+        return None
+    import os as _os
+
+    paths = [_os.path.join(lake_dir, f) for f in manifest.quarantine_files]
+    target = _target_schema(manifest, paths, config)
+    # quarantine files persist the __reason diagnostic column; it is NOT an
+    # event field — the Validator re-derives it, so it must not survive into
+    # the target schema (a stored copy would collide with the fresh one)
+    drop_meta = [c for c in ("__reason", "__shard") if c in target.names]
+    for c in drop_meta:
+        target = target.remove(target.get_field_index(c))
+    salted = _salted_parts(manifest, config)
+    commit_id = manifest.commit_id
+
+    cpus = int(ray.cluster_resources().get("CPU", 4))
+    concurrency = config.apply_concurrency or max(2, cpus - 2)
+
+    from etl_ray.util import read_parquet_any
+
+    ds = read_parquet_any(paths)
+
+    def strip_reason(t: pa.Table) -> pa.Table:
+        drop = [c for c in ("__reason", "__shard") if c in t.column_names]
+        return t.drop_columns(drop) if drop else t
+
+    validated = ds.map_batches(strip_reason, batch_format="pyarrow") \
+        .map_batches(Validator(config, target, salted),
+                     batch_format="pyarrow",
+                     batch_size=config.batch_size).materialize()
+    stats_tbl = (
+        validated.groupby("__shard")
+        .map_groups(
+            ApplyShards,
+            fn_constructor_args=(lake_dir, commit_id, config),
+            batch_format="pyarrow",
+            concurrency=min(concurrency, config.num_partitions),
+            num_cpus=1,
+        )
+        .to_pandas()
+    )
+
+    cs = CommitStats(commit_id=commit_id, segments=[])
+    cs.events_in = int(stats_tbl["rows_in"].sum())
+    new_quarantine: List[str] = []
+    delta_rows = []
+    for row in stats_tbl.itertuples(index=False):
+        if row.shard == QUARANTINE_SHARD:
+            cs.quarantined += int(row.rows_in)
+            new_quarantine.append(row.file)
+        else:
+            delta_rows.append(row)
+    cs.valid = cs.events_in - cs.quarantined
+    if cs.valid == 0:
+        # nothing recovered: remove the rewritten (identical) quarantine
+        # file and leave the manifest untouched — recovery is a no-op and
+        # idempotent under repeated calls
+        for f in new_quarantine:
+            try:
+                _os.remove(_os.path.join(lake_dir, f))
+            except OSError:
+                pass
+        return None
+    for row in delta_rows:
+        cs.rows_written += int(row.rows_out)
+        cs.deletes += int(row.deletes)
+        p = manifest.partition(int(row.part))
+        p.files.append(row.file)
+        p.watermark_seq = max(p.watermark_seq, int(row.max_seq))
+        pp = cs.per_partition.setdefault(
+            int(row.part), {"rows": 0, "sec": 0.0})
+        pp["rows"] += int(row.rows_in)
+        pp["sec"] += float(row.wall_sec)
+    for pp in cs.per_partition.values():
+        pp["rows_per_sec"] = round(pp["rows"] / pp["sec"], 1) \
+            if pp["sec"] else None
+    cs.wall_sec = time.monotonic() - t0
+
+    manifest.version += 1
+    manifest.set_schema(target)
+    manifest.quarantine_files = new_quarantine
+    lin = manifest.lineage
+    lin["events_in"] += cs.events_in
+    lin["valid"] += cs.valid
+    lin["quarantined"] = cs.quarantined  # quarantine REPLACED, not added
+    lin["rows_written"] += cs.rows_written
+    lin["deletes"] += cs.deletes
+    rec = cs.to_json()
+    rec["recovery"] = True
+    lin["commits"].append(rec)
+    manifest.commit()
+    return cs
+
+
 def replay(
     wal_dir: str,
     lake_dir: str,
