@@ -1194,6 +1194,63 @@ def _q_intersect_users(sf_dir: str):
     return out.sort_values("user_id").reset_index(drop=True)
 
 
+def _q_except_customers(sf_dir: str):
+    """Customer keys with NO event activity: distinct-key EXCEPT
+    (ops/joins.py except_keys) — both sides collapse to distinct keys
+    before one hash anti-join."""
+    import ray.data as rd
+
+    from etl_ray.ops.joins import except_keys
+
+    cust = rd.read_parquet(os.path.join(sf_dir, "customer.parquet"),
+                           columns=["c_custkey"])
+    ev = rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                         columns=["user_id"])
+    out = except_keys(cust, ev, on="c_custkey",
+                      right_on="user_id").to_pandas()
+    return out.sort_values("c_custkey").reset_index(drop=True)
+
+
+def _q_window_dedup(sf_dir: str):
+    """Event-time windowed dedup: same (user, event_type) within an hour
+    collapses to the earliest event (ops/windows.py window_dedup)."""
+    import ray.data as rd
+
+    from etl_ray.ops.windows import window_dedup
+
+    ds = rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                         columns=["event_id", "user_id", "event_type", "ts"])
+    out = window_dedup(ds, key_cols=("user_id", "event_type"),
+                       ts_col="ts", order_col="event_id",
+                       window_s=3600).to_pandas()
+    return out.sort_values("event_id").reset_index(drop=True)
+
+
+def _q_mad_by_type(sf_dir: str):
+    """Per-event-type robust stats: median + MAD in exact integer cents
+    (ops/stats.py grouped_mad)."""
+    import ray.data as rd
+
+    from etl_ray.ops.stats import grouped_mad
+
+    ds = rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                         columns=["event_type", "value"])
+    return grouped_mad(ds, col="value", by="event_type")
+
+
+def _q_doc_entropy(sf_dir: str):
+    """Per-document token-distribution Shannon entropy
+    (ops/textops.py doc_entropy)."""
+    import ray.data as rd
+
+    from etl_ray.ops.textops import doc_entropy
+
+    ds = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                         columns=["doc_id", "text"])
+    out = doc_entropy(ds).to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
 def _q_bigram_lm_scores(sf_dir: str):
     """Per-doc bigram-LM quality score: mean ln p(w2|w1) under corpus
     counts (ops/ngrams.py) — the perplexity-style curation filter."""
@@ -2046,6 +2103,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "weighted_sample": _q_weighted_sample,
         "lag_deltas": _q_lag_deltas,
         "intersect_users": _q_intersect_users,
+        "except_customers": _q_except_customers,
+        "window_dedup": _q_window_dedup,
+        "mad_by_type": _q_mad_by_type,
+        "doc_entropy": _q_doc_entropy,
         "fuzzy_name_pairs": _q_fuzzy_name_pairs,
         "grouped_hll": _q_grouped_hll,
         "revenue_by_nation": _q_revenue_by_nation,
@@ -2665,6 +2726,54 @@ FROM toks WHERE token <> '' GROUP BY token ORDER BY token
         "weighted_sample": _sql_weighted_sample(50),
         "lag_deltas": _SQL_LAG_DELTAS,
         "intersect_users": _SQL_INTERSECT_USERS,
+        "except_customers": """
+SELECT DISTINCT c_custkey FROM customer
+EXCEPT
+SELECT DISTINCT user_id FROM events
+ORDER BY c_custkey
+""",
+        "window_dedup": """
+WITH l AS (
+  SELECT event_id, user_id, event_type,
+         epoch_us(ts) - lag(epoch_us(ts)) OVER
+           (PARTITION BY user_id, event_type ORDER BY ts, event_id) AS gap_us
+  FROM events
+)
+SELECT user_id, event_type, event_id
+FROM l WHERE gap_us IS NULL OR gap_us >= 3600000000
+ORDER BY event_id
+""",
+        "mad_by_type": """
+WITH m AS (
+  SELECT event_type,
+         percentile_disc(0.5) WITHIN GROUP (ORDER BY value) AS med
+  FROM events WHERE value IS NOT NULL GROUP BY event_type
+), d AS (
+  SELECT e.event_type,
+         abs(round(e.value * 100) - round(m.med * 100)) AS ad
+  FROM events e JOIN m ON e.event_type = m.event_type
+  WHERE e.value IS NOT NULL
+)
+SELECT d.event_type, m.med AS median,
+       percentile_disc(0.5) WITHIN GROUP (ORDER BY d.ad) / 100.0 AS mad
+FROM d JOIN m ON d.event_type = m.event_type
+GROUP BY d.event_type, m.med
+ORDER BY d.event_type
+""",
+        "doc_entropy": r"""
+WITH toks AS (
+  SELECT doc_id, UNNEST(regexp_split_to_array(trim(text), '\s+')) AS token
+  FROM documents WHERE trim(text) <> ''
+), c AS (
+  SELECT doc_id, token, count(*) AS c FROM toks WHERE token <> ''
+  GROUP BY doc_id, token
+), t AS (SELECT doc_id, sum(c) AS tot FROM c GROUP BY doc_id)
+SELECT c.doc_id, CAST(t.tot AS BIGINT) AS n_tok,
+       round(-sum((c.c / t.tot) * ln(c.c / t.tot)), 4) + 0.0 AS entropy
+FROM c JOIN t USING (doc_id)
+GROUP BY c.doc_id, t.tot
+ORDER BY c.doc_id
+""",
         "fuzzy_name_pairs": _SQL_FUZZY_NAME_PAIRS,
         "grouped_hll": _sql_grouped_hll(8),
         "revenue_by_nation": _SQL_REVENUE_BY_NATION,

@@ -449,6 +449,17 @@ def anti_join(left, right, *, on: str, right_on: Optional[str] = None,
     return joined.map_batches(miss_only, batch_format="pyarrow")
 
 
+def except_keys(left, right, *, on: str, right_on: Optional[str] = None,
+                num_partitions: int = 8):
+    """SQL EXCEPT on a key column: DISTINCT ``left`` keys with no match in
+    ``right``. Left collapses to distinct keys per batch before the single
+    hash anti-join (which collapses the right side itself) — the exchange
+    moves only distinct keys, never data rows."""
+    lk = _distinct_keys(left, on, on)
+    return anti_join(lk, right, on=on, right_on=right_on,
+                     num_partitions=num_partitions)
+
+
 def intersect_keys(left, right, *, on: str, right_on: Optional[str] = None,
                    num_partitions: int = 8):
     """DISTINCT keys present on BOTH sides (SQL INTERSECT on a key

@@ -213,6 +213,41 @@ def grouped_quantiles(ds, *, col: str, by: str, qs: Sequence[float]):
     return ds.groupby(by).map_groups(per_group, batch_format="pandas")
 
 
+def grouped_mad(ds, *, col: str, by: str) -> pd.DataFrame:
+    """Robust per-group location + dispersion: median and MAD (median
+    absolute deviation) — the outlier-resistant alternative to
+    mean/stddev for telemetry strata. Two small passes over the same
+    grouped-percentile machinery: (1) per-group median (percentile_disc
+    element), broadcast as a tiny map; (2) per-group median of the
+    integer-cent absolute deviations — exact, no float summation
+    anywhere. Same partitioning assumption as ``grouped_quantiles``
+    (few distinct strata). Returns pandas (by, median, mad)."""
+    import ray
+
+    med_df = grouped_quantiles(ds, col=col, by=by, qs=[0.5]).to_pandas()
+    med_map = dict(zip(med_df[by], med_df["value"]))
+    ref = ray.put(med_map)
+
+    def derive(df: pd.DataFrame) -> pd.DataFrame:
+        m = ray.get(ref)
+        med = df[by].map(m).to_numpy(dtype=np.float64)
+        ad = np.abs(np.round(df[col].to_numpy(np.float64) * 100)
+                    - np.round(med * 100))
+        out = pd.DataFrame({by: df[by], "ad": ad})
+        return out[~np.isnan(ad)]
+
+    mad_df = grouped_quantiles(
+        ds.map_batches(derive, batch_format="pandas"),
+        col="ad", by=by, qs=[0.5]).to_pandas()
+    out = (
+        med_df.rename(columns={"value": "median"})[[by, "median"]]
+        .merge(mad_df.rename(columns={"value": "mad_c"})[[by, "mad_c"]],
+               on=by)
+    )
+    out["mad"] = out["mad_c"] / 100.0
+    return out.drop(columns=["mad_c"]).sort_values(by).reset_index(drop=True)
+
+
 def rollup_counts(ds, *, cols: Sequence[str], agg_col: str):
     """GROUP BY ROLLUP(cols): one aggregate per prefix level
     (c0..ck), (c0..ck-1), ..., () — coarser levels use NULL for the

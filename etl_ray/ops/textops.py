@@ -4,6 +4,7 @@ wrapping etl_ray.functions.text kernels."""
 
 from __future__ import annotations
 
+import numpy as np
 import pandas as pd
 import pyarrow as pa
 
@@ -62,6 +63,40 @@ def fingerprints(ds, *, text_col: str = "text", id_col: str = "doc_id"):
                 "fingerprint": fp,
             }
         )
+
+    return ds.map_batches(f, batch_format="pandas")
+
+
+def doc_entropy(ds, *, id_col: str = "doc_id", text_col: str = "text"):
+    """Per-document Shannon entropy (nats) of the whitespace-token
+    histogram — a repetitiveness/diversity quality score (boilerplate and
+    keyword-stuffed pages score low). Zero shuffle: a document is one row,
+    so the whole computation is batch-local — explode + two grouped sums,
+    no per-row Python. Empty documents are dropped (no distribution to
+    score). Returns (id, n_tok, entropy) rounded to 4 decimals."""
+
+    def f(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.reset_index(drop=True)
+        toks = df[text_col].astype(str).str.split().explode().dropna()
+        if len(toks) == 0:
+            return pd.DataFrame({id_col: pd.Series([], dtype=df[id_col].dtype),
+                                 "n_tok": pd.Series([], dtype="int64"),
+                                 "entropy": pd.Series([], dtype="float64")})
+        fr = pd.DataFrame({"r": toks.index.to_numpy(),
+                           "t": toks.to_numpy()})
+        c = fr.groupby(["r", "t"], sort=True).size()
+        row = c.index.get_level_values(0).to_numpy()
+        tot = c.groupby(level=0).sum()
+        p = c.to_numpy(dtype=np.float64) / tot.reindex(row).to_numpy(
+            dtype=np.float64)
+        plogp = pd.Series(p * np.log(p)).groupby(row).sum()
+        ent = np.round(-plogp.to_numpy(), 4) + 0.0  # normalize -0.0
+        keep = tot.index.to_numpy()
+        return pd.DataFrame({
+            id_col: df[id_col].iloc[keep].to_numpy(),
+            "n_tok": tot.to_numpy(dtype="int64"),
+            "entropy": ent,
+        })
 
     return ds.map_batches(f, batch_format="pandas")
 

@@ -96,6 +96,38 @@ def lag_delta(ds, *, key_col: str = "user_id", ts_col: str = "ts",
     return ds.groupby(key_col).map_groups(per_key, batch_format="pandas")
 
 
+def window_dedup(ds, *, key_cols=("user_id", "event_type"),
+                 ts_col: str = "ts", order_col: str = "event_id",
+                 window_s: int = 3600):
+    """Event-time windowed deduplication: an event is dropped when the
+    PREVIOUS event with the same key tuple is less than ``window_s``
+    seconds older (SQL ``lag(ts) OVER (PARTITION BY keys ORDER BY ts,
+    order)`` then a threshold filter) — the duplicate-beacon /
+    retransmitted-measurement collapse, and the standard "same user+action
+    within the hour is one event" rule for training-log hygiene.
+
+    Deterministic: in-group order is (ts, order_col), never arrival order.
+    Scale: one shuffle by key tuple; comparison is against the previous
+    RAW event (pure window function, embarrassingly per-key), not the
+    previous SURVIVOR — the survivor variant needs a sequential in-group
+    scan and is what ``sessionize`` covers. Returns (keys..., order_col)
+    of surviving events."""
+    key_cols = list(key_cols)
+    win_us = int(window_s) * 1_000_000
+
+    def per_key(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values([ts_col, order_col]).reset_index(drop=True)
+        # resolution-explicit: pandas preserves the parquet unit (us vs ns),
+        # so a bare .astype(int64) would be unit-dependent
+        us = pd.Series(
+            g[ts_col].to_numpy(dtype="datetime64[us]").astype("int64"))
+        prev = us.shift(1)
+        keep = prev.isna() | ((us - prev) >= win_us)
+        return g.loc[keep.to_numpy(), key_cols + [order_col]]
+
+    return ds.groupby(key_cols).map_groups(per_key, batch_format="pandas")
+
+
 def tumbling_window(ds, *, key_col: str = "user_id", ts_col: str = "ts",
                     value_col: str = "value", freq: str = "h"):
     """Tumbling event-time window (partial agg inside map_batches before the
