@@ -30,8 +30,6 @@ import pyarrow.compute as pc
 import pyarrow.parquet as pq
 
 from etl_ray.config import QUARANTINE_SHARD, EngineConfig
-from etl_ray.stages.merge import lww_last_per_doc
-
 STATS_SCHEMA = pa.schema(
     [
         pa.field("shard", pa.int64()),
@@ -73,34 +71,41 @@ class ApplyShards:
     def __call__(self, block: pa.Table) -> pa.Table:
         if len(block) == 0:
             return STATS_SCHEMA.empty_table()
-        # sort by shard only, then per-shard (doc, seq) sorts inside lww: a
-        # single 3-key sort with a string key was MEASURED SLOWER (~10s vs
-        # ~6.5s stage-2 wall at sf0.1/32cpus) than this two-level shape —
-        # Arrow's multi-key string sort beats two cheap sorts only when the
-        # shard split is skewed
-        block = block.sort_by([("__shard", "ascending")])
-        shards = block["__shard"].combine_chunks()
         import numpy as np
 
-        vals = shards.to_numpy(zero_copy_only=False)
-        boundaries = np.flatnonzero(np.diff(vals)) + 1
+        # split shards by INDEX (argsort of the int64 shard column) and let
+        # each shard take only its LWW winners from the original block —
+        # the payload (multi-KB token arrays) is copied ONCE, winners only.
+        # The previous shape (sort_by shard → slice → lww sort_by → filter)
+        # moved every payload byte ~2.5×; stage 2 is DRAM-bound, so payload
+        # copies are the wall-clock (BASELINE.md).
+        vals = block["__shard"].combine_chunks().to_numpy(
+            zero_copy_only=False)
+        order = np.argsort(vals, kind="stable")
+        sv = vals[order]
+        boundaries = np.flatnonzero(np.diff(sv)) + 1
         starts = np.concatenate([[0], boundaries])
-        ends = np.concatenate([boundaries, [len(vals)]])
+        ends = np.concatenate([boundaries, [len(sv)]])
         outs = [
-            self._apply_one(block.slice(int(s), int(e - s)))
+            self._apply_one(block, order[int(s):int(e)], int(sv[int(s)]))
             for s, e in zip(starts, ends)
         ]
         return pa.concat_tables(outs)
 
-    def _apply_one(self, group: pa.Table) -> pa.Table:
+    def _apply_one(self, block: pa.Table, idx, shard: int) -> pa.Table:
+        import numpy as np
+
+        from etl_ray.stages.merge import lww_winner_indices
+
         t0 = time.monotonic()
-        shard = group["__shard"][0].as_py()
-        rows_in = len(group)
+        rows_in = len(idx)
 
         if shard == QUARANTINE_SHARD:
             rel = os.path.join("_quarantine", f"{self.commit_id}.parquet")
-            out = group.drop_columns(["__shard"]).sort_by(
-                [("sequence_number", "ascending")])
+            seq = block["sequence_number"].combine_chunks().to_numpy(
+                zero_copy_only=False)[idx]
+            out = block.drop_columns(["__shard"]).take(
+                pa.array(idx[np.argsort(seq, kind="stable")]))
             _atomic_write(out, os.path.join(self.lake_dir, rel))
             return pa.table(
                 {
@@ -116,9 +121,15 @@ class ApplyShards:
         salt = shard % self.config.max_salt
         # valid-row exchange fragments drop the all-null __reason column
         # up front (bytes-per-event); the sort-exchange path still carries it
-        delta = group.drop_columns(
-            [c for c in ("__reason", "__shard") if c in group.column_names])
-        delta = lww_last_per_doc(delta)
+        slim = block.drop_columns(
+            [c for c in ("__reason", "__shard") if c in block.column_names])
+        # winner selection over the shard's KEY columns only, then ONE
+        # payload take of the winners (ordered by doc_id ascending — the
+        # on-disk delta order contract)
+        group_keys = slim.select(["doc_id", "sequence_number"]).take(
+            pa.array(idx))
+        local = lww_winner_indices(group_keys, ["doc_id"])
+        delta = slim.take(pa.array(idx[local]))
         deletes = int(
             pc.sum(pc.equal(delta["op"], "delete").fill_null(False)).as_py() or 0
         )

@@ -13,28 +13,54 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 
+def lww_winner_indices(table: pa.Table, key_cols: list,
+                       seq_col: str = "sequence_number") -> np.ndarray:
+    """Row indices of the per-key LWW winners, ordered by key ascending.
+
+    The sort runs over the KEY COLUMNS ONLY (``select`` is zero-copy); the
+    caller then does a single ``take`` of the winners. The naive shape —
+    ``sort_by`` the whole table, then ``filter`` — moves every payload byte
+    twice (full-table take + survivor copy, ~2.5× table bytes for a ~50%
+    survivor rate); this shape moves ~0.5× (winners once). The payload here
+    is multi-KB token arrays per row, so this is THE memory-bandwidth lever
+    of the apply/merge stages (BASELINE.md: stage 2 is DRAM-bound)."""
+    keys = table.select(list(key_cols) + [seq_col])
+    order = pc.sort_indices(
+        keys, sort_keys=[(k, "ascending") for k in key_cols]
+        + [(seq_col, "ascending")])
+    n = len(order)
+    # row i (in sort order) ends a run iff ANY key changes between i, i+1
+    last = np.zeros(n, dtype=bool)
+    last[n - 1] = True
+    for k in key_cols:
+        col = pc.take(keys[k], order).combine_chunks()
+        neq = pc.not_equal(col.slice(0, n - 1), col.slice(1, n - 1))
+        last[: n - 1] |= neq.fill_null(True).to_numpy(zero_copy_only=False)
+    return order.to_numpy(zero_copy_only=False)[last]
+
+
 def lww_last_per_doc(table: pa.Table, *, id_col: str = "doc_id",
                      seq_col: str = "sequence_number",
                      presorted: bool = False) -> pa.Table:
     """Keep, per doc_id, the row with the largest sequence_number.
 
-    Sorts by (doc_id asc, seq asc) then filters to run boundaries — a single
-    Arrow sort + one vectorized compare; no per-row Python. Output is sorted
-    by doc_id (the on-disk order of delta/base files, enabling future
-    streaming sort-merge compaction). ``presorted=True`` skips the sort when
-    the caller already ordered the rows (the apply stage sorts once by
-    (shard, doc, seq) and splits — half the sort traffic).
+    Key-only sort → single winners ``take`` (see lww_winner_indices); no
+    per-row Python. Output is sorted by doc_id (the on-disk order of
+    delta/base files, enabling streaming sort-merge compaction).
+    ``presorted=True`` skips the sort when the caller already ordered the
+    rows by (doc, seq) — a run-boundary filter is then the only copy.
     """
     if len(table) == 0:
         return table
-    if not presorted:
-        table = table.sort_by([(id_col, "ascending"), (seq_col, "ascending")])
-    ids = table[id_col].combine_chunks()
-    n = len(ids)
-    # run-boundary mask: row i is last of its doc iff ids[i] != ids[i+1]
-    neq = pc.not_equal(ids.slice(0, n - 1), ids.slice(1, n - 1))
-    mask = pa.chunked_array([neq.fill_null(True), pa.array([True])])
-    return table.filter(mask)
+    if presorted:
+        ids = table[id_col].combine_chunks()
+        n = len(ids)
+        # run-boundary mask: row i is last of its doc iff ids[i] != ids[i+1]
+        neq = pc.not_equal(ids.slice(0, n - 1), ids.slice(1, n - 1))
+        mask = pa.chunked_array([neq.fill_null(True), pa.array([True])])
+        return table.filter(mask)
+    winners = lww_winner_indices(table, [id_col], seq_col)
+    return table.take(pa.array(winners))
 
 
 def lww_last_per_keys(table: pa.Table, key_cols: list,
@@ -47,18 +73,8 @@ def lww_last_per_keys(table: pa.Table, key_cols: list,
     partials equals one global collapse."""
     if len(table) == 0:
         return table
-    table = table.sort_by(
-        [(k, "ascending") for k in key_cols] + [(seq_col, "ascending")]
-    )
-    n = len(table)
-    # row i ends a run (is kept) iff ANY key changes between i and i+1
-    last = np.zeros(n, dtype=bool)
-    last[n - 1] = True
-    for k in key_cols:
-        col = table[k].combine_chunks()
-        neq = pc.not_equal(col.slice(0, n - 1), col.slice(1, n - 1))
-        last[: n - 1] |= neq.fill_null(True).to_numpy(zero_copy_only=False)
-    return table.filter(pa.array(last))
+    winners = lww_winner_indices(table, list(key_cols), seq_col)
+    return table.take(pa.array(winners))
 
 
 def drop_tombstones(table: pa.Table, *, op_col: str = "op") -> pa.Table:
