@@ -73,12 +73,16 @@ class ApplyShards:
             return STATS_SCHEMA.empty_table()
         import numpy as np
 
-        # split shards by INDEX (argsort of the int64 shard column) and let
-        # each shard take only its LWW winners from the original block —
-        # the payload (multi-KB token arrays) is copied ONCE, winners only.
-        # The previous shape (sort_by shard → slice → lww sort_by → filter)
-        # moved every payload byte ~2.5×; stage 2 is DRAM-bound, so payload
-        # copies are the wall-clock (BASELINE.md).
+        # Shards split by INDEX (argsort of the int64 shard column); winner
+        # selection runs over the small key columns only; then ALL shards'
+        # winners are gathered from the original block in ONE take and
+        # sliced per shard. The payload (multi-KB token arrays) is copied
+        # once, winners only — the previous shape (sort_by shard → slice →
+        # lww sort_by → filter) moved every payload byte ~2.5×, and a
+        # per-shard take pays Arrow's fixed chunked-gather overhead per
+        # shard (measured 5× slower than one fused take at 32 shards/block).
+        # Stage 2 is DRAM-bound, so payload copies are the wall-clock
+        # (BASELINE.md).
         vals = block["__shard"].combine_chunks().to_numpy(
             zero_copy_only=False)
         order = np.argsort(vals, kind="stable")
@@ -86,50 +90,69 @@ class ApplyShards:
         boundaries = np.flatnonzero(np.diff(sv)) + 1
         starts = np.concatenate([[0], boundaries])
         ends = np.concatenate([boundaries, [len(sv)]])
-        outs = [
-            self._apply_one(block, order[int(s):int(e)], int(sv[int(s)]))
-            for s, e in zip(starts, ends)
-        ]
-        return pa.concat_tables(outs)
 
-    def _apply_one(self, block: pa.Table, idx, shard: int) -> pa.Table:
-        import numpy as np
-
-        from etl_ray.stages.merge import lww_winner_indices
-
-        t0 = time.monotonic()
-        rows_in = len(idx)
-
-        if shard == QUARANTINE_SHARD:
-            rel = os.path.join("_quarantine", f"{self.commit_id}.parquet")
-            seq = block["sequence_number"].combine_chunks().to_numpy(
-                zero_copy_only=False)[idx]
-            out = block.drop_columns(["__shard"]).take(
-                pa.array(idx[np.argsort(seq, kind="stable")]))
-            _atomic_write(out, os.path.join(self.lake_dir, rel))
-            return pa.table(
-                {
-                    "shard": [shard], "part": [-1], "salt": [0],
-                    "rows_in": [rows_in], "rows_out": [len(out)],
-                    "deletes": [0], "max_seq": [-1], "file": [rel],
-                    "wall_sec": [time.monotonic() - t0],
-                },
-                schema=STATS_SCHEMA,
-            )
-
-        part = shard // self.config.max_salt
-        salt = shard % self.config.max_salt
-        # valid-row exchange fragments drop the all-null __reason column
-        # up front (bytes-per-event); the sort-exchange path still carries it
         slim = block.drop_columns(
             [c for c in ("__reason", "__shard") if c in block.column_names])
-        # winner selection over the shard's KEY columns only, then ONE
-        # payload take of the winners (ordered by doc_id ascending — the
-        # on-disk delta order contract)
-        group_keys = slim.select(["doc_id", "sequence_number"]).take(
-            pa.array(idx))
-        local = lww_winner_indices(group_keys, ["doc_id"])
-        delta = slim.take(pa.array(idx[local]))
+        # one small gather puts the keys in shard-major order; per-shard key
+        # ranges are then zero-copy slices
+        skeys = slim.select(["doc_id", "sequence_number"]).take(
+            pa.array(order))
+
+        outs = []
+        plan = []          # (shard, rows_in, n_winners) in slice order
+        winner_parts = []  # original-block indices, doc-ascending per shard
+        for s, e in zip(starts, ends):
+            s, e = int(s), int(e)
+            shard = int(sv[s])
+            if shard == QUARANTINE_SHARD:
+                outs.append(self._quarantine_one(block, order[s:e]))
+                continue
+            kr = skeys.slice(s, e - s)
+            o2 = pc.sort_indices(kr, sort_keys=[
+                ("doc_id", "ascending"), ("sequence_number", "ascending")])
+            ids = pc.take(kr["doc_id"], o2).combine_chunks()
+            m = len(ids)
+            # run-boundary mask: row i is last of its doc iff ids[i]!=ids[i+1]
+            neq = pc.not_equal(ids.slice(0, m - 1), ids.slice(1, m - 1)) \
+                .fill_null(True).to_numpy(zero_copy_only=False)
+            last = np.append(neq, True)
+            w = o2.to_numpy(zero_copy_only=False)[last]
+            winner_parts.append(order[s:e][w])
+            plan.append((shard, e - s, len(w)))
+        if winner_parts:
+            big = slim.take(pa.array(np.concatenate(winner_parts)))
+            off = 0
+            for shard, rows_in, k in plan:
+                outs.append(
+                    self._write_delta(shard, rows_in, big.slice(off, k)))
+                off += k
+        return pa.concat_tables(outs)
+
+    def _quarantine_one(self, block: pa.Table, idx) -> pa.Table:
+        import numpy as np
+
+        t0 = time.monotonic()
+        rel = os.path.join("_quarantine", f"{self.commit_id}.parquet")
+        seq = block["sequence_number"].combine_chunks().to_numpy(
+            zero_copy_only=False)[idx]
+        out = block.drop_columns(["__shard"]).take(
+            pa.array(idx[np.argsort(seq, kind="stable")]))
+        _atomic_write(out, os.path.join(self.lake_dir, rel))
+        return pa.table(
+            {
+                "shard": [QUARANTINE_SHARD], "part": [-1], "salt": [0],
+                "rows_in": [len(idx)], "rows_out": [len(out)],
+                "deletes": [0], "max_seq": [-1], "file": [rel],
+                "wall_sec": [time.monotonic() - t0],
+            },
+            schema=STATS_SCHEMA,
+        )
+
+    def _write_delta(self, shard: int, rows_in: int,
+                     delta: pa.Table) -> pa.Table:
+        t0 = time.monotonic()
+        part = shard // self.config.max_salt
+        salt = shard % self.config.max_salt
         deletes = int(
             pc.sum(pc.equal(delta["op"], "delete").fill_null(False)).as_py() or 0
         )
