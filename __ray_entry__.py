@@ -1211,6 +1211,60 @@ def _q_except_customers(sf_dir: str):
     return out.sort_values("c_custkey").reset_index(drop=True)
 
 
+def _q_distinct_users_by_type(sf_dir: str):
+    """Exact COUNT(DISTINCT user) per event type, combiner-first
+    (ops/stats.py distinct_count_by)."""
+    import ray.data as rd
+
+    from etl_ray.ops.stats import distinct_count_by
+
+    ds = rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                         columns=["event_type", "user_id"])
+    out = distinct_count_by(ds, by="event_type", key_col="user_id",
+                            alias="n_users").to_pandas()
+    return out.sort_values("event_type").reset_index(drop=True)
+
+
+def _q_user_value_series(sf_dir: str):
+    """Per-user ordered value series (array_agg analog, integer-cent CSV;
+    ops/windows.py collect_series)."""
+    import ray.data as rd
+
+    from etl_ray.ops.windows import collect_series
+
+    ds = rd.read_parquet(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["user_id", "value", "ts", "event_id"])
+    out = collect_series(ds).to_pandas()
+    return out.sort_values("user_id").reset_index(drop=True)
+
+
+def _q_top_tokens(sf_dir: str):
+    """Top-50 corpus tokens, deterministic tie-break
+    (ops/textops.py top_tokens)."""
+    import ray.data as rd
+
+    from etl_ray.ops.textops import top_tokens
+
+    ds = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                         columns=["text"])
+    return top_tokens(ds, k=50)
+
+
+def _q_value_buckets(sf_dir: str):
+    """Quantile bucketization: every event labeled with the quartile
+    bucket of its value (ops/stats.py bucketize_by_quantile)."""
+    import ray.data as rd
+
+    from etl_ray.ops.stats import bucketize_by_quantile
+
+    ds = rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                         columns=["event_id", "value"])
+    out = bucketize_by_quantile(ds, col="value", qs=(0.25, 0.5, 0.75),
+                                keep_cols=["event_id"]).to_pandas()
+    return out.sort_values("event_id").reset_index(drop=True)
+
+
 def _q_window_dedup(sf_dir: str):
     """Event-time windowed dedup: same (user, event_type) within an hour
     collapses to the earliest event (ops/windows.py window_dedup)."""
@@ -2105,6 +2159,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "intersect_users": _q_intersect_users,
         "except_customers": _q_except_customers,
         "window_dedup": _q_window_dedup,
+        "distinct_users_by_type": _q_distinct_users_by_type,
+        "user_value_series": _q_user_value_series,
+        "top_tokens": _q_top_tokens,
+        "value_buckets": _q_value_buckets,
         "mad_by_type": _q_mad_by_type,
         "doc_entropy": _q_doc_entropy,
         "fuzzy_name_pairs": _q_fuzzy_name_pairs,
@@ -2742,6 +2800,40 @@ WITH l AS (
 SELECT user_id, event_type, event_id
 FROM l WHERE gap_us IS NULL OR gap_us >= 3600000000
 ORDER BY event_id
+""",
+        "distinct_users_by_type": """
+SELECT event_type, count(DISTINCT user_id) AS n_users
+FROM events GROUP BY event_type ORDER BY event_type
+""",
+        "user_value_series": """
+SELECT user_id, count(value) AS n,
+       coalesce(string_agg(CAST(CAST(round(value * 100) AS BIGINT)
+                                AS VARCHAR), ','
+                           ORDER BY ts, event_id), '') AS series_csv
+FROM events GROUP BY user_id ORDER BY user_id
+""",
+        "top_tokens": r"""
+WITH toks AS (
+  SELECT UNNEST(regexp_split_to_array(trim(text), '\s+')) AS token
+  FROM documents WHERE trim(text) <> ''
+)
+SELECT token, count(*) AS n
+FROM toks WHERE token <> '' GROUP BY token
+ORDER BY n DESC, token LIMIT 50
+""",
+        "value_buckets": """
+WITH q AS (
+  SELECT percentile_disc(0.25) WITHIN GROUP (ORDER BY value) AS q1,
+         percentile_disc(0.5)  WITHIN GROUP (ORDER BY value) AS q2,
+         percentile_disc(0.75) WITHIN GROUP (ORDER BY value) AS q3
+  FROM events WHERE value IS NOT NULL
+)
+SELECT e.event_id,
+       CASE WHEN e.value <= q.q1 THEN 0
+            WHEN e.value <= q.q2 THEN 1
+            WHEN e.value <= q.q3 THEN 2 ELSE 3 END AS bucket
+FROM events e, q WHERE e.value IS NOT NULL
+ORDER BY e.event_id
 """,
         "mad_by_type": """
 WITH m AS (

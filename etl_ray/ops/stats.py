@@ -213,6 +213,54 @@ def grouped_quantiles(ds, *, col: str, by: str, qs: Sequence[float]):
     return ds.groupby(by).map_groups(per_group, batch_format="pandas")
 
 
+def distinct_count_by(ds, *, by: str, key_col: str, alias: str = "n"):
+    """Exact COUNT(DISTINCT key) per group — combiner-first: every batch
+    collapses to its distinct (by, key) pairs BEFORE the shuffle, so the
+    exchange moves at most one row per distinct pair per batch, never data
+    rows; a pair-level groupby then a tiny per-group count finish it.
+    The approximate sibling for unbounded key domains is
+    ``sketches.grouped_hll_estimates``. Returns Dataset (by, alias)."""
+    from ray.data.aggregate import Count
+
+    def pairs(t: pa.Table) -> pa.Table:
+        return t.select([by, key_col]).group_by([by, key_col]).aggregate([])
+
+    d = ds.map_batches(pairs, batch_format="pyarrow")
+    # global pair distinct (one shuffle over distinct pairs) ...
+    d = d.groupby([by, key_col]).aggregate(Count(alias_name="__dup"))
+    # ... then a second, tiny shuffle counts pairs per group
+    return d.groupby(by).aggregate(Count(alias_name=alias))
+
+
+def bucketize_by_quantile(ds, *, col: str, qs: Sequence[float],
+                          keep_cols: Sequence[str]):
+    """Assign every row the quantile bucket of its ``col`` value — the
+    standard feature-bucketization / length-stratification op. Boundaries
+    come from ``exact_quantiles`` (percentile_disc elements) and are
+    broadcast; the per-batch assignment is one ``np.searchsorted``
+    (bucket i ⇔ value ≤ i-th boundary, last bucket = above all). NULL
+    values are dropped (no bucket to assign). Returns a Dataset
+    (keep_cols..., bucket int64)."""
+    import ray
+
+    bounds = exact_quantiles(ds, col=col, qs=list(qs))["value"].to_numpy(
+        dtype=np.float64)
+    ref = ray.put(bounds)
+    keep_cols = list(keep_cols)
+
+    def assign(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        b = ray.get(ref)
+        t = t.filter(pc.is_valid(t[col]))
+        v = t[col].to_numpy(zero_copy_only=False).astype(np.float64)
+        bucket = np.searchsorted(b, v, side="left").astype(np.int64)
+        out = t.select(keep_cols)
+        return out.append_column("bucket", pa.array(bucket))
+
+    return ds.map_batches(assign, batch_format="pyarrow")
+
+
 def grouped_mad(ds, *, col: str, by: str) -> pd.DataFrame:
     """Robust per-group location + dispersion: median and MAD (median
     absolute deviation) — the outlier-resistant alternative to

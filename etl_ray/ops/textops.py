@@ -67,6 +67,19 @@ def fingerprints(ds, *, text_col: str = "text", id_col: str = "doc_id"):
     return ds.map_batches(f, batch_format="pandas")
 
 
+def top_tokens(ds, *, text_col: str = "text", k: int = 50) -> pd.DataFrame:
+    """Global top-k vocabulary heavy hitters with a DETERMINISTIC
+    tie-break (count desc, token asc). The corpus collapses combiner-first
+    to one row per distinct token (see token_histogram — data rows never
+    shuffle); only that small aggregated table is sorted/limited on the
+    driver. For open-ended vocabularies where even the distinct-token
+    table is huge, pre-filter candidates with the CMS sketch
+    (ops/sketches.py) and verify exactly."""
+    h = token_histogram(ds, text_col=text_col).to_pandas()
+    h = h.sort_values(["n", "token"], ascending=[False, True]).head(k)
+    return h.reset_index(drop=True)
+
+
 def doc_entropy(ds, *, id_col: str = "doc_id", text_col: str = "text"):
     """Per-document Shannon entropy (nats) of the whitespace-token
     histogram — a repetitiveness/diversity quality score (boilerplate and

@@ -128,6 +128,33 @@ def window_dedup(ds, *, key_cols=("user_id", "event_type"),
     return ds.groupby(key_cols).map_groups(per_key, batch_format="pandas")
 
 
+def collect_series(ds, *, key_col: str = "user_id",
+                   value_col: str = "value",
+                   order_cols=("ts", "event_id")):
+    """Per-key ordered value series (SQL ``list(value ORDER BY ...)`` /
+    array_agg): one row per key with the key's values concatenated in
+    event-time order — the input layout for per-entity sequence models.
+    Values are emitted as an integer-cent CSV string (deterministic,
+    hashable; the repo's list-output convention, see pack_sequences).
+    NULL values are dropped. One shuffle by key; a key's history must fit
+    one task (same assumption as sessionize). Returns
+    (key, n, series_csv)."""
+    order_cols = list(order_cols)
+
+    def per_key(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(order_cols)
+        v = g[value_col].to_numpy(dtype=np.float64)
+        keep = ~np.isnan(v)
+        cents = np.round(v[keep] * 100).astype(np.int64)
+        return pd.DataFrame({
+            key_col: [g[key_col].iloc[0]],
+            "n": np.array([len(cents)], dtype="int64"),
+            "series_csv": [",".join(map(str, cents))],
+        })
+
+    return ds.groupby(key_col).map_groups(per_key, batch_format="pandas")
+
+
 def tumbling_window(ds, *, key_col: str = "user_id", ts_col: str = "ts",
                     value_col: str = "value", freq: str = "h"):
     """Tumbling event-time window (partial agg inside map_batches before the

@@ -102,3 +102,56 @@ def test_doc_entropy():
     assert not np.signbit(out["entropy"].iloc[0])
     assert out["entropy"].iloc[1] == round(math.log(2), 4)
     assert out["entropy"].iloc[2] == round(math.log(4), 4)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_distinct_count_by():
+    from etl_ray.ops.stats import distinct_count_by
+
+    df = pd.DataFrame({"g": ["a", "a", "a", "b", "b"],
+                       "k": [1, 1, 2, 7, 7]})
+    out = distinct_count_by(rd.from_pandas(df), by="g", key_col="k",
+                            alias="n").to_pandas()
+    got = dict(zip(out["g"], out["n"]))
+    assert got == {"a": 2, "b": 1}
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_collect_series_orders_and_drops_nulls():
+    from etl_ray.ops.windows import collect_series
+
+    ts = pd.to_datetime(["2024-01-01 02:00", "2024-01-01 01:00",
+                         "2024-01-01 03:00", "2024-01-01 00:30"])
+    df = pd.DataFrame({"user_id": [1, 1, 1, 2],
+                       "value": [2.5, 1.25, np.nan, 9.0],
+                       "ts": ts, "event_id": [1, 2, 3, 4]})
+    out = collect_series(rd.from_pandas(df)).to_pandas() \
+        .sort_values("user_id").reset_index(drop=True)
+    assert list(out["series_csv"]) == ["125,250", "900"]
+    assert list(out["n"]) == [2, 1]
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_top_tokens_tie_break():
+    from etl_ray.ops.textops import top_tokens
+
+    df = pd.DataFrame({"text": ["b a", "a c b", "d"]})
+    out = top_tokens(rd.from_pandas(df), k=2)
+    # a and b both occur twice; token-ascending breaks the tie
+    assert list(out["token"]) == ["a", "b"]
+    assert list(out["n"]) == [2, 2]
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_bucketize_by_quantile():
+    from etl_ray.ops.stats import bucketize_by_quantile
+
+    df = pd.DataFrame({"id": list(range(8)),
+                       "v": [1.0, 2.0, 3.0, 4.0, 5.0, 6.0, 7.0, 8.0]})
+    out = bucketize_by_quantile(rd.from_pandas(df), col="v",
+                                qs=(0.25, 0.5, 0.75),
+                                keep_cols=["id"]).to_pandas() \
+        .sort_values("id").reset_index(drop=True)
+    # percentile_disc boundaries of 1..8 at (.25,.5,.75) = (2,4,6);
+    # bucket i iff v <= boundary_i
+    assert list(out["bucket"]) == [0, 0, 1, 1, 2, 2, 3, 3]
