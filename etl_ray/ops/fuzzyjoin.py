@@ -39,7 +39,10 @@ def _deletion_signatures(strs: np.ndarray):
     if n == 0:
         return np.zeros(0, np.int64), np.zeros(0, dtype="U1")
     lens = np.char.str_len(strs)
-    width = int(lens.max()) if n else 1
+    # all-empty batch: lens.max()==0 and .view('U1').reshape(n, 0) would
+    # raise; width>=1 keeps the matrix well-formed (empty strings simply
+    # produce their sole signature, the empty string itself)
+    width = max(int(lens.max()), 1) if n else 1
     chars = _char_matrix(strs, width)
     rows = [np.arange(n)]
     sigs = [strs.astype(f"U{width}")]
@@ -99,6 +102,13 @@ class _SigGen:
         self.id_col, self.text_col = id_col, text_col
 
     def __call__(self, t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        # nulls would become the literal string 'None' under np dtype='U'
+        # (silently pairing all nulls at distance 0) and empty strings are
+        # not meaningful entities — drop both before signature generation
+        # (a null mask entry is dropped by Table.filter by default)
+        t = t.filter(pc.greater(pc.utf8_length(t[self.text_col]), 0))
         ids = t[self.id_col].to_numpy(zero_copy_only=False)
         strs = np.asarray(t[self.text_col].to_pylist(), dtype="U")
         rows, sigs = _deletion_signatures(strs)

@@ -243,8 +243,12 @@ def bucketize_by_quantile(ds, *, col: str, qs: Sequence[float],
     (keep_cols..., bucket int64)."""
     import ray
 
-    bounds = exact_quantiles(ds, col=col, qs=list(qs))["value"].to_numpy(
-        dtype=np.float64)
+    # np.searchsorted requires ascending boundaries; a caller passing
+    # unsorted qs would otherwise get silently wrong bucket assignments
+    # (bucket i must mean "≤ i-th smallest boundary")
+    bounds = exact_quantiles(
+        ds, col=col, qs=sorted(qs))["value"].to_numpy(dtype=np.float64)
+    bounds = np.sort(bounds)
     ref = ray.put(bounds)
     keep_cols = list(keep_cols)
 

@@ -60,9 +60,15 @@ class ParisTest:
     nodes: List[Node] = field(default_factory=list)
     last_valid_hop_line: str = ""
     reached_dest: bool = False
+    # Computed ONCE in parse_paris BEFORE last_valid_hop_line is replaced
+    # with the 'ExpectedDestIP' marker (pt.go:902-904) — the reference
+    # computes-then-marks in that order, so a property re-reading the
+    # mutated line would flip for multi-path last hops where the dest IP
+    # appears in the final hop line but the final node is a different IP.
+    last_hop: str = ""
+    reached_expected_dest: bool = False
 
-    @property
-    def last_hop(self) -> str:
+    def compute_last_hop(self) -> str:
         """Best estimate of where the test ended (pt.go:884-901): dest_ip
         when the final node or final hop line mentions it, else the final
         node's ip."""
@@ -72,10 +78,6 @@ class ParisTest:
                 and self.dest_ip not in self.last_valid_hop_line):
             return self.nodes[-1].ip
         return self.dest_ip
-
-    @property
-    def reached_expected_dest(self) -> bool:
-        return self.last_hop == self.dest_ip
 
 
 def parse_first_line(line: str) -> Tuple[str, str, str]:
@@ -213,6 +215,11 @@ def parse_paris(text: str) -> ParisTest:
         raise ValueError("empty test")
     t = ParisTest(protocol, server_ip, dest_ip, all_nodes, last_valid,
                   reached)
+    # compute-then-mark, mirroring the reference's order (pt.go:884-904):
+    # last_hop/reached are fixed from the REAL final hop line, and only
+    # then is the line replaced with the marker.
+    t.last_hop = t.compute_last_hop()
+    t.reached_expected_dest = t.last_hop == dest_ip
     if t.last_hop == dest_ip:
         t.last_valid_hop_line = "ExpectedDestIP"  # pt.go:902-904
     return t

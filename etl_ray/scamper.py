@@ -51,10 +51,27 @@ def _repair_json(text: str) -> str:
         if c == "'":  # single-quoted string → double-quoted
             i += 1
             buf = []
+            esc = {"'": "'", '"': '"', "\\": "\\", "/": "/", "n": "\n",
+                   "t": "\t", "r": "\r", "b": "\b", "f": "\f"}
             while i < n and text[i] != "'":
                 if text[i] == "\\" and i + 1 < n:
-                    buf.append(text[i + 1] if text[i + 1] == "'"
-                               else text[i] + text[i + 1])
+                    # decode standard JSON escapes (not just \') so the
+                    # repaired payload carries the real character —
+                    # json.dumps below re-escapes it correctly; jsonnet
+                    # would likewise produce the decoded char
+                    nxt = text[i + 1]
+                    if nxt in esc:
+                        buf.append(esc[nxt])
+                        i += 2
+                        continue
+                    if nxt == "u" and i + 5 < n:
+                        try:
+                            buf.append(chr(int(text[i + 2:i + 6], 16)))
+                            i += 6
+                            continue
+                        except ValueError:
+                            pass
+                    buf.append(text[i] + nxt)  # unknown escape: verbatim
                     i += 2
                     continue
                 buf.append(text[i])

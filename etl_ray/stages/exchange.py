@@ -80,7 +80,11 @@ class FragmentWriter:
         self.compression = config.exchange_compression
         self.fmt = config.exchange_format
         self.ipc_compression = config.exchange_ipc_compression
-        self._dict_cols = None  # decided on the first batch, per worker
+        # columns observed high-cardinality in ANY batch are permanently
+        # excluded (cheap negative cache); the dict decision itself is
+        # re-made per batch — a first batch of bursty same-doc updates
+        # must not lock dictionary encoding in for doc_id forever
+        self._never_dict: set = set()
 
     def _shrink(self, t: pa.Table) -> pa.Table:
         """Bytes-per-event reduction before the exchange write: __shard
@@ -90,23 +94,24 @@ class FragmentWriter:
         high-cardinality columns are left alone."""
         i = t.schema.get_field_index("__shard")
         t = t.set_column(i, "__shard", pc.cast(t["__shard"], pa.int32()))
-        if self._dict_cols is None:
-            self._dict_cols = {}
-        key = frozenset(t.column_names)
-        if key not in self._dict_cols:
-            cols = []
-            for name in t.column_names:
-                f = t.schema.field(name)
-                if not (pa.types.is_string(f.type)
-                        or pa.types.is_large_string(f.type)):
-                    continue
-                nd = pc.count_distinct(t[name]).as_py() or 0
-                if nd <= min(1024, max(16, len(t) // 8)):
-                    cols.append(name)
-            self._dict_cols[key] = cols
-        for name in self._dict_cols[key]:
-            i = t.schema.get_field_index(name)
-            if i >= 0 and not pa.types.is_dictionary(t.schema.field(i).type):
+        for name in t.column_names:
+            if name in self._never_dict:
+                continue
+            f = t.schema.field(name)
+            if not (pa.types.is_string(f.type)
+                    or pa.types.is_large_string(f.type)):
+                continue
+            if pa.types.is_dictionary(f.type):
+                continue
+            nd = pc.count_distinct(t[name]).as_py() or 0
+            if nd > 1024:
+                # globally high-cardinality column (doc_id): never again
+                # spend the count_distinct or risk a locally-bursty batch
+                # dict-encoding it
+                self._never_dict.add(name)
+                continue
+            if nd <= min(1024, max(16, len(t) // 8)):
+                i = t.schema.get_field_index(name)
                 t = t.set_column(
                     i, name, pc.dictionary_encode(
                         t[name].combine_chunks()))
