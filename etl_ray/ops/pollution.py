@@ -65,18 +65,55 @@ def flag_pollution(g: pd.DataFrame, *, order_col: str, dest_col: str,
 
 def detect_pollution(ds, *, key_col: str, order_col: str, dest_col: str,
                      last_hop_col: str, complete_col: str, window: int = 2,
-                     concurrency: int = 4):
+                     concurrency: int = 4, num_buckets: int = 256):
     """Dataset → Dataset with (polluted, retracted_by) per record. The ONE
-    shuffle is the groupby on the key; within a group everything is numpy
-    shifts (the buffer is a forward window, not a Python deque)."""
+    shuffle is a groupby on ``hash(key) % num_buckets`` — never one group
+    per distinct key (the many-tiny-groups map_groups trap). Each bucket
+    sorts once by (key, order) and runs the forward-window shifts across
+    ALL its keys at once, masking cross-key comparisons (a shift of k only
+    hits when row i and row i+k share the key)."""
 
-    def per_group(g: pd.DataFrame) -> pd.DataFrame:
-        return flag_pollution(
-            g, order_col=order_col, dest_col=dest_col,
-            last_hop_col=last_hop_col, complete_col=complete_col,
-            window=window)
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop(columns="__bucket").sort_values(
+            [key_col, order_col], kind="stable").reset_index(drop=True)
+        keyv = g[key_col].to_numpy()
+        dest = g[dest_col].to_numpy()
+        last_hop = g[last_hop_col].to_numpy()
+        complete = g[complete_col].to_numpy(dtype=bool)
+        order = g[order_col].to_numpy()
+        n = len(g)
+        polluted = np.zeros(n, dtype=bool)
+        retracted_by = np.full(n, -1, dtype=np.int64)
+        # nearest polluter wins: scan the window nearest-first (larger k
+        # first so a smaller k overwrites), keep first match
+        for k in range(window, 0, -1):
+            if k >= n:
+                continue
+            hit = np.zeros(n, dtype=bool)
+            hit[:n - k] = ((keyv[:n - k] == keyv[k:])
+                           & ~complete[:n - k]
+                           & (dest[k:] == last_hop[:n - k])
+                           & (dest[:n - k] != dest[k:]))
+            polluted |= hit
+            idx = np.flatnonzero(hit)
+            retracted_by[idx] = order[idx + k]
+        g = g.copy()
+        g["polluted"] = polluted
+        g["retracted_by"] = pd.array(
+            np.where(polluted, retracted_by, -1), dtype="int64")
+        g.loc[~polluted, "retracted_by"] = pd.NA
+        g["retracted_by"] = g["retracted_by"].astype("Int64")
+        return g
 
-    return ds.groupby(key_col).map_groups(per_group, batch_format="pandas")
+    def tag(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        h = pd.util.hash_array(df[key_col].to_numpy())
+        df["__bucket"] = (h % num_buckets).astype(np.int64)
+        return df
+
+    return (ds.map_batches(tag, batch_format="pandas")
+            .groupby("__bucket").map_groups(per_bucket,
+                                            batch_format="pandas"))
 
 
 def retraction_events(flags: pd.DataFrame, *, id_col: str,

@@ -11,9 +11,15 @@ Ordering contract: windows are computed per key AFTER an explicit in-group
 sort by (ts, event_id) — never from block arrival order (the reference's
 out-of-order panic, parser/ndt.go:230-238, is the cautionary tale).
 
-Scale: ``groupby(key).map_groups`` shuffles once by key; a key's history must
-fit one worker (bound it upstream with date partitioning when keys are
-long-lived).
+Scale shape: keys are hashed into COARSE buckets (hundreds, never one
+group per key — ``groupby(key).map_groups`` pays one Python call + one
+DataFrame per DISTINCT key, the many-tiny-groups trap BASELINE.md measured
+at ~9 s for 76k groups). Each bucket sorts ONCE by (key, ts, order) and
+computes every key's windows with vectorized cross-key transforms
+(key-boundary-aware shift / cumsum / maximum.accumulate), so the work per
+bucket is O(rows log rows) with zero per-key dispatch. One shuffle by
+bucket; a key's history must fit one worker (bound it upstream with date
+partitioning when keys are long-lived).
 """
 
 from __future__ import annotations
@@ -21,10 +27,40 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 
+DEFAULT_NUM_BUCKETS = 256
+
+
+def _bucket_groups(ds, key_cols, per_bucket, num_buckets: int):
+    """groupby(hash(keys) % num_buckets) + one vectorized map_groups per
+    bucket — the ops/ranking.py shape. ``per_bucket`` sees the bucket's
+    rows WITHOUT the helper column and must handle multiple keys."""
+    key_cols = list(key_cols)
+
+    def tag(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        h = pd.util.hash_pandas_object(df[key_cols], index=False).to_numpy()
+        df["__bucket"] = (h % num_buckets).astype(np.int64)
+        return df
+
+    def run(g: pd.DataFrame) -> pd.DataFrame:
+        return per_bucket(g.drop(columns="__bucket"))
+
+    return (ds.map_batches(tag, batch_format="pandas")
+            .groupby("__bucket").map_groups(run, batch_format="pandas"))
+
+
+def _key_firsts(keys: pd.Series) -> np.ndarray:
+    """Boolean mask: row starts a new key run (input sorted by key)."""
+    first = keys.ne(keys.shift()).to_numpy(dtype=bool)
+    if len(first):
+        first[0] = True
+    return first
+
 
 def sessionize(ds, *, key_col: str = "user_id", ts_col: str = "ts",
                value_col: str = "value", gap_minutes: float = 30.0,
-               order_col: str = "event_id"):
+               order_col: str = "event_id",
+               num_buckets: int = DEFAULT_NUM_BUCKETS):
     """Session windows: a session ends after ``gap_minutes`` of inactivity.
 
     Returns one row per (key, session_id): start/end, n_events, sum_value
@@ -32,73 +68,96 @@ def sessionize(ds, *, key_col: str = "user_id", ts_col: str = "ts",
     """
     gap = pd.Timedelta(minutes=gap_minutes)
 
-    def per_key(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values([ts_col, order_col])
-        brk = (g[ts_col].diff() > gap).astype(np.int64)
-        session = brk.cumsum()
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values([key_col, ts_col, order_col],
+                          kind="stable").reset_index(drop=True)
+        new_key = _key_firsts(g[key_col])
+        brk = new_key | (g[ts_col].diff() > gap).to_numpy(dtype=bool)
+        sid = np.cumsum(brk)  # globally unique session id within bucket
+        # per-key session_id starts at 0: subtract the key's first sid
+        key_first_sid = np.maximum.accumulate(np.where(new_key, sid, 0))
         cents = np.round(g[value_col].to_numpy() * 100).astype(np.int64)
         out = (
-            g.assign(session_id=session.to_numpy(), __cents=cents)
-            .groupby("session_id", as_index=False)
+            g.assign(__sid=sid, session_id=(sid - key_first_sid),
+                     __cents=cents)
+            .groupby("__sid", as_index=False, sort=True)
             .agg(
+                **{key_col: (key_col, "first")},
+                session_id=("session_id", "first"),
                 session_start=(ts_col, "min"),
                 session_end=(ts_col, "max"),
                 n_events=(order_col, "size"),
                 __sum_cents=("__cents", "sum"),
             )
-        )
-        out.insert(0, key_col, g[key_col].iloc[0])
+        ).drop(columns="__sid")
         out["sum_value"] = out.pop("__sum_cents") / 100.0
         return out
 
-    return ds.groupby(key_col).map_groups(per_key, batch_format="pandas")
+    return _bucket_groups(ds, [key_col], per_bucket, num_buckets)
 
 
 def rolling_stats(ds, *, key_col: str = "user_id", ts_col: str = "ts",
                   value_col: str = "value", window: int = 3,
-                  order_col: str = "event_id"):
+                  order_col: str = "event_id",
+                  num_buckets: int = DEFAULT_NUM_BUCKETS):
     """Sliding window over each key's ordered events: moving average of the
-    last ``window`` events (exact integer-cents arithmetic)."""
+    last ``window`` events (exact integer-cents arithmetic). Cross-key
+    vectorized: one bucket-wide cumsum; each row's window start is
+    max(row - window + 1, first row of its key)."""
 
-    def per_key(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values([ts_col, order_col]).reset_index(drop=True)
-        cents = pd.Series(
-            np.round(g[value_col].to_numpy() * 100).astype(np.int64))
-        roll = cents.rolling(window, min_periods=1)
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values([key_col, ts_col, order_col],
+                          kind="stable").reset_index(drop=True)
+        n = len(g)
+        cents = np.round(g[value_col].to_numpy() * 100).astype(np.int64)
+        pos = np.arange(n, dtype=np.int64)
+        new_key = _key_firsts(g[key_col])
+        key_first = np.maximum.accumulate(np.where(new_key, pos, 0))
+        start = np.maximum(pos - window + 1, key_first)
+        csum = np.concatenate([[0], np.cumsum(cents)])
+        wsum = csum[pos + 1] - csum[start]
+        cnt = pos + 1 - start
         return pd.DataFrame(
             {
                 key_col: g[key_col],
                 order_col: g[order_col],
-                "moving_avg": roll.sum().to_numpy()
-                / (100.0 * roll.count().to_numpy()),
+                "moving_avg": wsum / (100.0 * cnt),
             }
         )
 
-    return ds.groupby(key_col).map_groups(per_key, batch_format="pandas")
+    return _bucket_groups(ds, [key_col], per_bucket, num_buckets)
 
 
 def lag_delta(ds, *, key_col: str = "user_id", ts_col: str = "ts",
-              value_col: str = "value", order_col: str = "event_id"):
+              value_col: str = "value", order_col: str = "event_id",
+              num_buckets: int = DEFAULT_NUM_BUCKETS):
     """Per-key successive difference (SQL ``value - lag(value) OVER
     (PARTITION BY key ORDER BY ts, order)``): the first event of each key
     gets a null delta. Integer-cents subtraction keeps the doubles
     bit-equal to the oracle's."""
 
-    def per_key(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values([ts_col, order_col]).reset_index(drop=True)
-        c = pd.Series(np.round(g[value_col].to_numpy(np.float64) * 100))
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values([key_col, ts_col, order_col],
+                          kind="stable").reset_index(drop=True)
+        c = np.round(g[value_col].to_numpy(np.float64) * 100)
+        prev = np.empty_like(c)
+        prev[:1] = np.nan
+        prev[1:] = c[:-1]
+        delta = (c - prev) / 100.0
+        delta[_key_firsts(g[key_col])] = np.nan  # first event of each key
         return pd.DataFrame({
             key_col: g[key_col],
             order_col: g[order_col],
-            "delta": (c - c.shift(1)) / 100.0,
+            "delta": delta,
         })
 
-    return ds.groupby(key_col).map_groups(per_key, batch_format="pandas")
+    return _bucket_groups(ds, [key_col], per_bucket, num_buckets)
 
 
 def window_dedup(ds, *, key_cols=("user_id", "event_type"),
                  ts_col: str = "ts", order_col: str = "event_id",
-                 window_s: int = 3600):
+                 window_s: int = 3600,
+                 num_buckets: int = DEFAULT_NUM_BUCKETS):
     """Event-time windowed deduplication: an event is dropped when the
     PREVIOUS event with the same key tuple is less than ``window_s``
     seconds older (SQL ``lag(ts) OVER (PARTITION BY keys ORDER BY ts,
@@ -115,22 +174,30 @@ def window_dedup(ds, *, key_cols=("user_id", "event_type"),
     key_cols = list(key_cols)
     win_us = int(window_s) * 1_000_000
 
-    def per_key(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values([ts_col, order_col]).reset_index(drop=True)
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(key_cols + [ts_col, order_col],
+                          kind="stable").reset_index(drop=True)
         # resolution-explicit: pandas preserves the parquet unit (us vs ns),
         # so a bare .astype(int64) would be unit-dependent
-        us = pd.Series(
-            g[ts_col].to_numpy(dtype="datetime64[us]").astype("int64"))
-        prev = us.shift(1)
-        keep = prev.isna() | ((us - prev) >= win_us)
-        return g.loc[keep.to_numpy(), key_cols + [order_col]]
+        us = g[ts_col].to_numpy(dtype="datetime64[us]").astype("int64")
+        prev = np.empty_like(us)
+        prev[:1] = 0
+        prev[1:] = us[:-1]
+        new_key = np.zeros(len(g), dtype=bool)
+        if len(g):
+            new_key[0] = True
+        for kc in key_cols:
+            new_key |= g[kc].ne(g[kc].shift()).to_numpy(dtype=bool)
+        keep = new_key | ((us - prev) >= win_us)
+        return g.loc[keep, key_cols + [order_col]]
 
-    return ds.groupby(key_cols).map_groups(per_key, batch_format="pandas")
+    return _bucket_groups(ds, key_cols, per_bucket, num_buckets)
 
 
 def collect_series(ds, *, key_col: str = "user_id",
                    value_col: str = "value",
-                   order_cols=("ts", "event_id")):
+                   order_cols=("ts", "event_id"),
+                   num_buckets: int = DEFAULT_NUM_BUCKETS):
     """Per-key ordered value series (SQL ``list(value ORDER BY ...)`` /
     array_agg): one row per key with the key's values concatenated in
     event-time order — the input layout for per-entity sequence models.
@@ -141,18 +208,27 @@ def collect_series(ds, *, key_col: str = "user_id",
     (key, n, series_csv)."""
     order_cols = list(order_cols)
 
-    def per_key(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(order_cols)
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values([key_col] + order_cols, kind="stable")
         v = g[value_col].to_numpy(dtype=np.float64)
         keep = ~np.isnan(v)
         cents = np.round(v[keep] * 100).astype(np.int64)
-        return pd.DataFrame({
-            key_col: [g[key_col].iloc[0]],
-            "n": np.array([len(cents)], dtype="int64"),
-            "series_csv": [",".join(map(str, cents))],
-        })
+        f = pd.DataFrame({key_col: g[key_col].to_numpy()[keep],
+                          "__s": cents.astype(str)})
+        # ','.join per KEY on pre-sorted string values: one tiny Python
+        # call per distinct key — no per-key DataFrame/map_groups dispatch
+        agg = f.groupby(key_col, as_index=False, sort=True).agg(
+            n=("__s", "size"), series_csv=("__s", ",".join))
+        # keys whose values are ALL null still get a (key, 0, "") row,
+        # like the per-key shape produced
+        out = pd.DataFrame(
+            {key_col: np.sort(pd.unique(g[key_col]))}).merge(
+            agg, on=key_col, how="left")
+        out["n"] = out["n"].fillna(0).astype(np.int64)
+        out["series_csv"] = out["series_csv"].fillna("")
+        return out
 
-    return ds.groupby(key_col).map_groups(per_key, batch_format="pandas")
+    return _bucket_groups(ds, [key_col], per_bucket, num_buckets)
 
 
 def tumbling_window(ds, *, key_col: str = "user_id", ts_col: str = "ts",
