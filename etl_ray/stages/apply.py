@@ -45,6 +45,32 @@ STATS_SCHEMA = pa.schema(
 )
 
 
+def _gather_rows(tables, gidx) -> pa.Table:
+    """Gather rows ``gidx`` (global indices over the concatenation of
+    ``tables``) preserving order. Takes run per SOURCE table (single-chunk,
+    sorted indices = forward scans); a single take against the chunked
+    concat instead pays a large fixed cost per call on list columns
+    (measured ~10x at 31k rows x 20 chunks). The order-restoring take runs
+    over the winners-only gathered table, so it moves winner bytes once."""
+    import numpy as np
+
+    lens = np.array([len(t) for t in tables], dtype=np.int64)
+    offsets = np.concatenate([[0], np.cumsum(lens)])
+    ord2 = np.argsort(gidx, kind="stable")
+    sw = gidx[ord2]
+    bounds = np.searchsorted(sw, offsets[1:-1])
+    pieces, s = [], 0
+    for f, e in enumerate(list(bounds) + [len(sw)]):
+        e = int(e)
+        if e > s:
+            pieces.append(tables[f].take(pa.array(sw[s:e] - offsets[f])))
+        s = e
+    g = pa.concat_tables(pieces).combine_chunks()
+    inv = np.empty(len(ord2), np.int64)
+    inv[ord2] = np.arange(len(ord2))
+    return g.take(pa.array(inv))
+
+
 def _atomic_write(table: pa.Table, path: str) -> None:
     os.makedirs(os.path.dirname(path), exist_ok=True)
     tmp = path + ".tmp"
@@ -68,7 +94,12 @@ class ApplyShards:
         self.commit_id = commit_id
         self.config = config
 
-    def __call__(self, block: pa.Table) -> pa.Table:
+    def __call__(self, block: pa.Table, payload=None) -> pa.Table:
+        """``payload``: split-payload mode (stages/exchange.py) — a LIST of
+        single-chunk arrival-order payload tables; ``block`` carries only
+        key columns plus ``__gpidx`` row pointers into their concatenation.
+        Winners' payload rows are gathered here per source table (losers'
+        multi-KB rows are never copied at all)."""
         if len(block) == 0:
             return STATS_SCHEMA.empty_table()
         import numpy as np
@@ -92,7 +123,8 @@ class ApplyShards:
         ends = np.concatenate([boundaries, [len(sv)]])
 
         slim = block.drop_columns(
-            [c for c in ("__reason", "__shard") if c in block.column_names])
+            [c for c in ("__reason", "__shard", "__gpidx")
+             if c in block.column_names])
         # one small gather puts the keys in shard-major order; per-shard key
         # ranges are then zero-copy slices
         skeys = slim.select(["doc_id", "sequence_number"]).take(
@@ -120,7 +152,14 @@ class ApplyShards:
             winner_parts.append(order[s:e][w])
             plan.append((shard, e - s, len(w)))
         if winner_parts:
-            big = slim.take(pa.array(np.concatenate(winner_parts)))
+            allw = np.concatenate(winner_parts)
+            big = slim.take(pa.array(allw))
+            if payload is not None:
+                gp = block["__gpidx"].combine_chunks().to_numpy(
+                    zero_copy_only=False)[allw]
+                paywin = _gather_rows(payload, gp)
+                for i, name in enumerate(paywin.column_names):
+                    big = big.append_column(name, paywin.column(i))
             off = 0
             for shard, rows_in, k in plan:
                 outs.append(

@@ -49,6 +49,12 @@ from etl_ray.stages.validate import Validator
 
 EXCHANGE_DIR = "_exchange"
 
+# Control columns that LWW winner selection / routing / stats need. In
+# split-payload mode ONLY these (plus __shard and a row pointer) are
+# bucket-sorted and shuffled eagerly; every other column is "payload" and
+# is written once, in arrival order, gathered winners-only in stage 2.
+KEY_EXCHANGE_COLS = ("op", "doc_id", "sequence_number")
+
 FRAG_STATS_SCHEMA = pa.schema(
     [
         pa.field("bucket", pa.int64()),
@@ -80,6 +86,10 @@ class FragmentWriter:
         self.compression = config.exchange_compression
         self.fmt = config.exchange_format
         self.ipc_compression = config.exchange_ipc_compression
+        sp = config.exchange_split_payload
+        # auto: split only for IPC fragments (the winner gather needs
+        # zero-copy mmap random access — tmpfs / shared-fs roots)
+        self.split_payload = (self.fmt == "ipc") if sp is None else sp
         # columns observed high-cardinality in ANY batch are permanently
         # excluded (cheap negative cache); the dict decision itself is
         # re-made per batch — a first batch of bursty same-doc updates
@@ -192,9 +202,40 @@ class FragmentWriter:
             batch = batch.filter(pa.array(~is_q))
             shard = shard[~is_q]
         if len(batch):
-            batch = self._shrink(batch.drop_columns(["__reason"]))
-            split_and_write(batch, shard % self.n_buckets,
-                            f"frag-{tag}.{ext}")
+            batch = batch.drop_columns(["__reason"])
+            pcols = [c for c in batch.column_names
+                     if c not in KEY_EXCHANGE_COLS and c != "__shard"]
+            if self.split_payload and self.fmt == "ipc" and pcols:
+                n = len(batch)
+                # payload: arrival order, ONE record batch, written once —
+                # the multi-KB rows are NEVER bucket-sorted here (that take
+                # was a full extra payload copy per commit). No _shrink:
+                # payload schemas stay uniform across fragments so the
+                # consumer can concat the mmaps zero-copy.
+                ptab = batch.select(pcols).combine_chunks()
+                ppath = os.path.join(self.exchange_dir,
+                                     f"frag-{tag}-p.arrow")
+                opts = pa.ipc.IpcWriteOptions(
+                    compression=self.ipc_compression) \
+                    if self.ipc_compression else None
+                with pa.OSFile(ppath + ".tmp", "wb") as sink:
+                    with pa.ipc.new_file(sink, ptab.schema,
+                                         options=opts) as w:
+                        w.write_table(ptab, max_chunksize=max(n, 1))
+                os.replace(ppath + ".tmp", ppath)
+                # keys + row pointer into the payload file: tiny take
+                ktab = batch.select(
+                    [c for c in KEY_EXCHANGE_COLS
+                     if c in batch.column_names] + ["__shard"])
+                ktab = ktab.append_column(
+                    "__pidx", pa.array(np.arange(n, dtype=np.int32)))
+                split_and_write(self._shrink(ktab),
+                                shard % self.n_buckets,
+                                f"frag-{tag}-k.arrow")
+            else:
+                split_and_write(self._shrink(batch),
+                                shard % self.n_buckets,
+                                f"frag-{tag}.{ext}")
         return pa.table(
             {
                 "bucket": pa.array(out["bucket"], pa.int64()),
@@ -237,6 +278,23 @@ class ApplyBucket:
         self.chunk_rows = config.apply_chunk_rows
         self.n_buckets = n_buckets
         self._mmaps: List = []
+        # split-payload state: mmap'd arrival-order payload tables in
+        # first-use order; __gpidx = per-file row index + the file's offset
+        # into their zero-copy concatenation
+        self._payload_tables: List[pa.Table] = []
+        self._payload_offsets: dict = {}
+
+    def _payload_offset(self, key_file: str) -> int:
+        ppath = os.path.join(self.exchange_dir,
+                             key_file[: -len("-k.arrow")] + "-p.arrow")
+        if ppath not in self._payload_offsets:
+            mm = pa.memory_map(ppath, "r")
+            self._mmaps.append(mm)
+            t = pa.ipc.open_file(mm).read_all()
+            self._payload_offsets[ppath] = sum(
+                len(x) for x in self._payload_tables)
+            self._payload_tables.append(t)
+        return self._payload_offsets[ppath]
 
     @staticmethod
     def _undo_shrink(t: pa.Table) -> pa.Table:
@@ -278,6 +336,12 @@ class ApplyBucket:
             else:
                 t = pq.ParquetFile(path).read_row_group(rg)
             t = self._undo_shrink(t)
+            if f.endswith("-k.arrow"):
+                # split-payload key fragment: turn the per-file row pointer
+                # into a global index over the concatenated payload mmaps
+                off = self._payload_offset(f)
+                gp = pc.add(pc.cast(t["__pidx"], pa.int64()), off)
+                t = t.drop_columns(["__pidx"]).append_column("__gpidx", gp)
             for vc in pc.value_counts(t["__shard"]).to_pylist():
                 true_counts[vc["values"]] = (
                     true_counts.get(vc["values"], 0) + vc["counts"])
@@ -296,7 +360,15 @@ class ApplyBucket:
         outs = []
         for row in desc.to_pylist():
             table, true_counts = self._bucket_table(row)
-            stats = self.inner(table)
+            if "__gpidx" in table.column_names:
+                # winners-only payload gather: ApplyShards takes exactly
+                # the LWW winners' rows from the mmap'd arrival-order
+                # tables, per source file (a take against the CHUNKED
+                # concat pays a ~10x fixed cost per call — measured 31k
+                # rows from a 20-chunk list table: 0.96s vs 0.09s)
+                stats = self.inner(table, payload=self._payload_tables)
+            else:
+                stats = self.inner(table)
             # restore pre-collapse rows_in per shard (ADVICE r02: the
             # failure-ratio denominator and hot-partition detection must
             # see real event counts, not collapsed ones)
