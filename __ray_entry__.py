@@ -1354,8 +1354,8 @@ def _q_revenue_by_nation(sf_dir: str):
     import ray.data as rd
     from ray.data.aggregate import Sum
 
-    from etl_ray.ops.components import _JOIN_KW, _nonempty
-    from etl_ray.ops.joins import broadcast_join
+    from etl_ray.ops.components import _nonempty
+    from etl_ray.ops.joins import broadcast_join, hash_join_kw
 
     li = rd.read_parquet(
         os.path.join(sf_dir, "lineitem.parquet"),
@@ -1377,7 +1377,7 @@ def _q_revenue_by_nation(sf_dir: str):
                              columns=["o_orderkey", "o_custkey"])
     joined = _nonempty(li_agg).join(
         _nonempty(orders), on=("l_orderkey",), right_on=("o_orderkey",),
-        num_partitions=8, **_JOIN_KW)
+        **hash_join_kw())
 
     cust = pd.read_parquet(os.path.join(sf_dir, "customer.parquet"),
                            columns=["c_custkey", "c_nationkey"])
@@ -1727,14 +1727,21 @@ def _q_token_histogram(sf_dir: str):
 
 
 def _q_ann_ivf_topk(sf_dir: str):
-    """IVF ANN: coarse-quantizer cell pruning (nprobe of nlist cells
-    scored per query) with exact cosine inside probed cells."""
+    """IVF ANN end-to-end on the SCALE path: build (one assignment pass)
+    → persist partitioned by cell_id → pruned read of ONLY the nprobe
+    probed cells' directories → per-cell gathered scoring. Identical
+    results to streaming the whole corpus (unprobed cells get zero FLOPs
+    either way); the partitioned variant additionally gives them zero
+    scan bytes."""
+    import tempfile
+
     import numpy as np
     import pyarrow.compute as pc
     import pyarrow.parquet as pq
     import ray.data as rd
 
-    from etl_ray.ops.similarity import ivf_topk
+    from etl_ray.ops.similarity import (ivf_build, ivf_persist,
+                                        ivf_topk_partitioned)
 
     path = os.path.join(sf_dir, "embeddings.parquet")
     qt = pq.read_table(path, columns=["vec_id", "embedding"],
@@ -1745,7 +1752,13 @@ def _q_ann_ivf_topk(sf_dir: str):
         lambda t: t.filter(pc.greater_equal(t["vec_id"], 4)),
         batch_format="pyarrow",
     )
-    out = ivf_topk(ds, qids, Q, k=10, nlist=8, nprobe=3, concurrency=2)
+    indexed, C = ivf_build(ds, dim=Q.shape[1], nlist=8, seed=11,
+                           concurrency=2)
+    root = tempfile.mkdtemp(prefix="etl_ray_ivfq_")
+    ivf_persist(indexed, root)
+    out, stats = ivf_topk_partitioned(root, qids, Q, centroids=C, k=10,
+                                      nprobe=3, concurrency=2)
+    assert stats["cells_probed"] <= stats["cells_total"]
     out["score"] = out["score"].round(4)
     return out[["query_id", "vec_id", "score", "rank"]].reset_index(drop=True)
 
@@ -2025,6 +2038,156 @@ def _q_archive_ingest(sf_dir: str):
     return out.sort_values("doc_id").reset_index(drop=True)
 
 
+def _ndt_cents(sf_dir: str):
+    """events → per-user (user_id, sorted event_ids, integer cents) used to
+    synthesize deterministic ndt result files."""
+    import pyarrow.parquet as pq
+
+    ev = pq.read_table(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["user_id", "event_id", "value"],
+    ).sort_by([("user_id", "ascending"), ("event_id", "ascending")])
+    import numpy as np
+
+    u = ev["user_id"].to_numpy(zero_copy_only=False)
+    e = ev["event_id"].to_numpy(zero_copy_only=False)
+    c = np.round(ev["value"].to_numpy(zero_copy_only=False) * 100).astype(
+        np.int64)
+    starts = np.concatenate([[0], np.flatnonzero(np.diff(u)) + 1, [len(u)]])
+    return [(int(u[s]), e[s:t], c[s:t])
+            for s, t in zip(starts[:-1], starts[1:])]
+
+
+def _q_ndt7_scrub(sf_dir: str):
+    """events → one synthesized ndt7 result file per user (ServerMeasurements
+    carrying ConnectionInfo + an ``_unsafe`` UUID) → NDT7ResultParser →
+    summary rows. Proves the shipped field rules end-to-end: the audit
+    column ``n_conninfo_remaining`` must be 0 for every row and the id must
+    be the ``_unsafe``-stripped UUID (reference parser/ndt7_result.go:65-134)."""
+    import io
+    import json
+    import tarfile
+    import tempfile
+
+    import pandas as pd
+
+    from etl_ray.ndtresult import ndt_result_registry
+    from etl_ray.parsers import parse_archives
+
+    d = tempfile.mkdtemp(prefix="etl_ray_ndt7q_")
+    tar_path = os.path.join(d, "ndt7.tgz")
+    with tarfile.open(tar_path, "w:gz") as tf:
+        for uid, eids, cents in _ndt_cents(sf_dir):
+            ms = [{
+                "ConnectionInfo": {"Client": f"10.0.0.{uid % 250}:1234",
+                                   "Server": "192.0.2.1:443"},
+                "TCPInfo": {
+                    "BytesAcked": int(c), "BytesReceived": int(c),
+                    "ElapsedTime": int(e) + 1, "MinRTT": int(c),
+                    "BytesSent": abs(int(c)) + 1,
+                    "BytesRetrans": abs(int(c)) % 7,
+                },
+            } for e, c in zip(eids, cents)]
+            obj = {"Download": {
+                "UUID": f"ndt-{uid}_unsafe",
+                "StartTime": f"t-{uid}",
+                "ServerMeasurements": ms,
+            }}
+            data = json.dumps(obj, sort_keys=True).encode("utf-8")
+            info = tarfile.TarInfo(f"ndt7-download-{uid:08d}.json")
+            info.size = len(data)
+            tf.addfile(info, io.BytesIO(data))
+    parsed = parse_archives(
+        [tar_path], registry=ndt_result_registry()).to_pandas()
+    ok = parsed[parsed["error"].isna()
+                & (parsed["datatype"] == "ndt7_result")]
+    p = ok["payload"].map(json.loads)
+    out = pd.DataFrame({
+        "id": p.map(lambda r: r["id"]),
+        "test_time": p.map(lambda r: r["test_time"]),
+        "congestion_control": p.map(lambda r: r["congestion_control"]),
+        "mean_throughput_mbps": p.map(
+            lambda r: r["mean_throughput_mbps"]).astype("float64"),
+        "min_rtt": p.map(lambda r: r["min_rtt"]).astype("float64"),
+        "loss_rate": p.map(lambda r: r["loss_rate"]).astype("float64"),
+        "n_measurements": p.map(
+            lambda r: r["n_measurements"]).astype("int64"),
+        "n_conninfo_remaining": p.map(
+            lambda r: r["n_conninfo_remaining"]).astype("int64"),
+        "n_conninfo_scrubbed": p.map(
+            lambda r: r["n_conninfo_scrubbed"]).astype("int64"),
+    })
+    return out.sort_values("id").reset_index(drop=True)
+
+
+def _q_ndt5_scrub(sf_dir: str):
+    """events → one synthesized ndt5 result file per user (legacy JSON-object
+    ClientMetadata + direction mix: user%3 ∈ {0: S2C, 1: C2S, 2: both};
+    user%5==0 carries TCPInfo, others exercise the user-space MinRTT
+    fallback) → NDT5ResultParser → one row per measured direction. Proves
+    the pre-decode ClientMetadata strip and the ``_unsafe`` UUID strip
+    (reference parser/ndt5_result.go:68-104,163-207)."""
+    import io
+    import json
+    import tarfile
+    import tempfile
+
+    import pandas as pd
+
+    from etl_ray.ndtresult import ndt_result_registry
+    from etl_ray.parsers import parse_archives
+
+    d = tempfile.mkdtemp(prefix="etl_ray_ndt5q_")
+    tar_path = os.path.join(d, "ndt5.tgz")
+    with tarfile.open(tar_path, "w:gz") as tf:
+        for uid, eids, cents in _ndt_cents(sf_dir):
+            c = int(cents[-1])
+            s2c = {
+                "UUID": f"ndt5-{uid}-s2c_unsafe",
+                "StartTime": f"t5-{uid}",
+                "MeanThroughputMbps": c / 50.0,
+                "MinRTT": c * 1_000_000,  # ns (user-space estimate)
+            }
+            if uid % 5 == 0:
+                s2c["TCPInfo"] = {"MinRTT": c, "BytesSent": abs(c) + 1,
+                                  "BytesRetrans": abs(c) % 7}
+            c2s = {"UUID": f"ndt5-{uid}-c2s_unsafe",
+                   "StartTime": f"t5-{uid}",
+                   "MeanThroughputMbps": c / 100.0}
+            obj = {"Control": {"UUID": f"ndt5-{uid}-ctl"}}
+            if uid % 3 in (0, 2):
+                obj["S2C"] = s2c
+            if uid % 3 in (1, 2):
+                obj["C2S"] = c2s
+            # NOT first in the object: the reference regex anchors on the
+            # leading comma (parser/ndt5_result.go:77)
+            text = json.dumps(obj, sort_keys=True)
+            legacy = (text[:-1]
+                      + ',"ClientMetadata":{"client_name":"legacy-cli"}}')
+            data = legacy.encode("utf-8")
+            info = tarfile.TarInfo(f"ndt5-{uid:08d}.json")
+            info.size = len(data)
+            tf.addfile(info, io.BytesIO(data))
+    parsed = parse_archives(
+        [tar_path], registry=ndt_result_registry()).to_pandas()
+    ok = parsed[parsed["error"].isna()
+                & (parsed["datatype"] == "ndt5_result")]
+    p = ok["payload"].map(json.loads)
+    out = pd.DataFrame({
+        "id": p.map(lambda r: r["id"]),
+        "direction": p.map(lambda r: r["direction"]),
+        "test_time": p.map(lambda r: r["test_time"]),
+        "congestion_control": p.map(lambda r: r["congestion_control"]),
+        "mean_throughput_mbps": p.map(
+            lambda r: r["mean_throughput_mbps"]).astype("float64"),
+        "min_rtt": p.map(lambda r: r["min_rtt"]).astype("float64"),
+        "loss_rate": p.map(lambda r: r["loss_rate"]).astype("float64"),
+        "client_metadata_stripped": p.map(
+            lambda r: r["client_metadata_stripped"]).astype("bool"),
+    })
+    return out.sort_values(["id", "direction"]).reset_index(drop=True)
+
+
 def _q_ss_parse(sf_dir: str):
     """Sidestream K:/C: schema-on-read text: archive → 1→N typed rows with
     canonical web100 renames (reference parser/ss.go:59-312)."""
@@ -2086,6 +2249,70 @@ def _q_ndt_group_deltas(sf_dir: str):
     from etl_ray.pipelines.telemetry import ndt_group_deltas
 
     return ndt_group_deltas(sf_dir)
+
+
+def _q_multimodal_real(sf_dir: str):
+    """REAL image decode, no codec library: synthesize a deterministic
+    PPM (P6) / PGM (P5) / 24-bit BMP payload per document INSIDE
+    map_batches (distributed synth), decode with the pure-numpy
+    RealImageDecoder actor pool, verify dims + exact pixel mean against
+    SQL. doc_id % 17 == 0 payloads are corrupt (JPEG magic) and must
+    surface as decoded_ok = FALSE with zeroed dims — the quarantine
+    contract."""
+    import ray.data as rd
+
+    from etl_ray.ops.multimodal import RealImageDecoder, decode_images
+
+    ds = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                         columns=["doc_id"])
+
+    def synth(t):
+        import numpy as np
+        import pyarrow as pa
+
+        payloads = []
+        for d in t["doc_id"].to_pylist():
+            w, h = d % 16 + 1, d % 8 + 1
+            a, b = (d * 7) % 256, d % 251
+            if d % 17 == 0:
+                payloads.append(b"\xff\xd8corrupt-jpeg")
+                continue
+            if d % 3 == 0:  # BMP, 24-bit, bottom-up, padded rows
+                px = np.full((h, w, 3), b, np.uint8)
+                px[0, 0, 0] = a
+                stride = (w * 3 + 3) & ~3
+                rows = np.zeros((h, stride), np.uint8)
+                rows[:, : w * 3] = px[::-1, :, ::-1].reshape(h, w * 3)
+                body = rows.tobytes()
+                header = (b"BM" + (54 + len(body)).to_bytes(4, "little")
+                          + b"\x00\x00\x00\x00" + (54).to_bytes(4, "little")
+                          + (40).to_bytes(4, "little")
+                          + w.to_bytes(4, "little", signed=True)
+                          + h.to_bytes(4, "little", signed=True)
+                          + (1).to_bytes(2, "little")
+                          + (24).to_bytes(2, "little")
+                          + (0).to_bytes(4, "little") + b"\x00" * 20)
+                payloads.append(header + body)
+                continue
+            c = 3 if d % 2 == 0 else 1
+            px = np.full(w * h * c, b, np.uint8)
+            px[0] = a
+            magic = b"P6" if c == 3 else b"P5"
+            payloads.append(magic + b"\n# synth\n"
+                            + f"{w} {h}\n255\n".encode() + px.tobytes())
+        pay = pa.array(payloads, pa.binary())
+        return pa.table({
+            "doc_id": t["doc_id"],
+            "payload": pay,
+            "media_type": pa.array(["image/x-synth"] * len(t)),
+            "payload_bytes": pa.compute.binary_length(pay).cast(pa.int64()),
+        })
+
+    out = decode_images(ds.map_batches(synth, batch_format="pyarrow"),
+                        decoder=RealImageDecoder, concurrency=2).to_pandas()
+    out["decoded_ok"] = out["decode_error"].isna()
+    out = out.drop(columns=["decode_error", "payload_bytes"])
+    return out.sort_values("doc_id").reset_index(drop=True)
 
 
 def _q_multimodal(sf_dir: str):
@@ -2190,6 +2417,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sessionize": _q_sessionize,
         "rolling_avg": _q_rolling_avg,
         "archive_ingest": _q_archive_ingest,
+        "ndt7_scrub": _q_ndt7_scrub,
+        "ndt5_scrub": _q_ndt5_scrub,
         "ss_parse": _q_ss_parse,
         "snaplog_deltas": _q_snaplog_deltas,
         "pcap_packets": _q_pcap_packets,
@@ -2202,6 +2431,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lang_id": _q_lang_id,
         "pack_sequences": _q_pack_sequences,
         "multimodal_decode": _q_multimodal,
+        "multimodal_real_decode": _q_multimodal_real,
     }
 
 
@@ -2373,6 +2603,74 @@ SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars,
             ELSE len(regexp_split_to_array(trim(text), '\\s+')) END
             AS BIGINT) AS n_words
 FROM documents ORDER BY doc_id
+""",
+        "multimodal_real_decode": """
+WITH p AS (
+  SELECT doc_id,
+         doc_id % 16 + 1 AS w, doc_id % 8 + 1 AS h,
+         (doc_id * 7) % 256 AS a, doc_id % 251 AS b,
+         CASE WHEN doc_id % 17 = 0 THEN 0
+              WHEN doc_id % 3 = 0 THEN 3
+              WHEN doc_id % 2 = 0 THEN 3 ELSE 1 END AS c
+  FROM documents
+)
+SELECT doc_id,
+       CASE WHEN c = 0 THEN 0 ELSE w END AS width,
+       CASE WHEN c = 0 THEN 0 ELSE h END AS height,
+       c AS channels,
+       CASE WHEN c = 0 THEN 0.0
+            ELSE (a + (w * h * c - 1) * b) / (w * h * c) END AS mean_luma,
+       c <> 0 AS decoded_ok
+FROM p ORDER BY doc_id
+""",
+        "ndt7_scrub": """
+WITH c AS (
+  SELECT user_id, event_id, CAST(ROUND(value * 100) AS BIGINT) AS cents
+  FROM events
+), last AS (
+  SELECT user_id AS u,
+         arg_max(cents, event_id) AS lc,
+         max(event_id) AS le,
+         count(*) AS n
+  FROM c GROUP BY user_id
+)
+SELECT 'ndt-' || u AS id,
+       't-' || u AS test_time,
+       'bbr' AS congestion_control,
+       8.0 * lc / (le + 1) AS mean_throughput_mbps,
+       lc / 1000.0 AS min_rtt,
+       (abs(lc) % 7) / (abs(lc) + 1.0) AS loss_rate,
+       n AS n_measurements,
+       CAST(0 AS BIGINT) AS n_conninfo_remaining,
+       n AS n_conninfo_scrubbed
+FROM last ORDER BY id
+""",
+        "ndt5_scrub": """
+WITH c AS (
+  SELECT user_id, event_id, CAST(ROUND(value * 100) AS BIGINT) AS cents
+  FROM events
+), last AS (
+  SELECT user_id AS u, arg_max(cents, event_id) AS lc
+  FROM c GROUP BY user_id
+), s2c AS (
+  SELECT 'ndt5-' || u || '-s2c' AS id, 's2c' AS direction,
+         't5-' || u AS test_time, 'cubic' AS congestion_control,
+         lc / 50.0 AS mean_throughput_mbps,
+         CASE WHEN u % 5 = 0 THEN lc / 1000.0
+              ELSE CAST(lc AS DOUBLE) END AS min_rtt,
+         CASE WHEN u % 5 = 0 THEN (abs(lc) % 7) / (abs(lc) + 1.0)
+              ELSE 0.0 END AS loss_rate,
+         TRUE AS client_metadata_stripped
+  FROM last WHERE u % 3 IN (0, 2)
+), c2s AS (
+  SELECT 'ndt5-' || u || '-c2s' AS id, 'c2s' AS direction,
+         't5-' || u AS test_time, 'unknown' AS congestion_control,
+         lc / 100.0 AS mean_throughput_mbps,
+         -1.0 AS min_rtt, -1.0 AS loss_rate,
+         TRUE AS client_metadata_stripped
+  FROM last WHERE u % 3 IN (1, 2)
+)
+SELECT * FROM s2c UNION ALL SELECT * FROM c2s ORDER BY id, direction
 """,
         "cdc_time_travel": """
 WITH seg0 AS (

@@ -276,6 +276,27 @@ def run_bench() -> dict:
         queries["ann_ivf_recall_at_10"] = round(
             hits / (10 * len(exact_sets)), 3)
 
+        # cell-partitioned lake: only probed cells are READ — scan bytes
+        # must track nprobe/nlist (8/64), not the corpus size
+        from etl_ray.ops.similarity import ivf_persist, ivf_topk_partitioned
+
+        ivf_root = tempfile.mkdtemp(prefix="etl_ray_ivfbench_")
+        t0 = time.monotonic()
+        ivf_persist(indexed, ivf_root)
+        queries["ann_ivf_persist_100k"] = round(time.monotonic() - t0, 3)
+        part = {}
+        queries["ann_ivf_part_100k"] = timed_op(lambda: part.update(
+            r=ivf_topk_partitioned(ivf_root, q_ids, Qi, centroids=C, k=10,
+                                   nprobe=8, concurrency=conc)))
+        pres, pstats = part["r"]
+        queries["ann_ivf_part_scan_frac"] = round(
+            pstats["bytes_read"] / pstats["bytes_total"], 4)
+        phits = sum(len(set(g["vec_id"]) & exact_sets[q])
+                    for q, g in pres.groupby("query_id"))
+        queries["ann_ivf_part_recall_at_10"] = round(
+            phits / (10 * len(exact_sets)), 3)
+        shutil.rmtree(ivf_root, ignore_errors=True)
+
     shutil.rmtree(lake, ignore_errors=True)
     ray.shutdown()
     return {

@@ -59,12 +59,6 @@ def _nonempty(ds):
     return rd.from_arrow_refs(refs) if refs else m
 
 
-_JOIN_KW = dict(
-    join_type="inner",
-    # Ray's default reserves ~1 GB per join aggregator, which deadlocks
-    # small sessions; label/edge rows are tens of bytes
-    aggregator_ray_remote_args={"memory": 256 << 20, "num_cpus": 0.5},
-)
 
 
 def _nodes_from_edges(edges, id_a: str, id_b: str):
@@ -89,12 +83,9 @@ def connected_components(edges, *, id_a: str = "id_a", id_b: str = "id_b",
 
     ``max_rounds`` is a safety cap; with pointer jumping, real dup graphs
     converge in 2-4 rounds and a path graph of length 2^k in ~k."""
-    import ray
+    from etl_ray.ops.joins import hash_join_kw
 
-    if num_partitions is None:
-        cpus = int(ray.cluster_resources().get("CPU", 4))
-        num_partitions = max(2, min(16, cpus // 2))
-    jkw = dict(_JOIN_KW, num_partitions=num_partitions)
+    jkw = hash_join_kw(num_partitions)
     sch = edges.schema()
     typ = dict(zip(sch.names, sch.types))[id_a]
 

@@ -258,18 +258,12 @@ DEFAULT_MAX_BUCKET_IDS = 2048
 
 
 def _join_kwargs(num_partitions=None):
-    """Hash-join sizing shared by all pair joins: Ray's default reserves
-    ~1 GB memory per aggregator which deadlocks small sessions; bucket/pair
-    rows are tiny, so a modest reservation is right at any scale."""
-    import ray
+    """Hash-join sizing shared by all pair joins: delegates to
+    ``joins.hash_join_kw`` so the aggregator pool can never reserve more
+    than half the cluster's CPUs (the deadlock-proof invariant)."""
+    from etl_ray.ops.joins import hash_join_kw
 
-    if num_partitions is None:
-        cpus = int(ray.cluster_resources().get("CPU", 4))
-        num_partitions = max(2, min(16, cpus // 2))
-    return dict(
-        join_type="inner", num_partitions=num_partitions,
-        aggregator_ray_remote_args={"memory": 256 << 20, "num_cpus": 0.5},
-    )
+    return hash_join_kw(num_partitions)
 
 
 def _rename_col(old: str, new: str):
@@ -449,15 +443,7 @@ def verify_candidates(ds, cand, *, threshold: float, shingle_n: int = 3,
     memory per aggregator, which deadlocks small sessions; shingle rows are
     a few KB each, so a modest reservation is right at any scale (spill
     covers the tail)."""
-    import ray
-
-    if num_partitions is None:
-        cpus = int(ray.cluster_resources().get("CPU", 4))
-        num_partitions = max(2, min(16, cpus // 2))
-    join_kw = dict(
-        join_type="inner", num_partitions=num_partitions,
-        aggregator_ray_remote_args={"memory": 256 << 20, "num_cpus": 0.5},
-    )
+    join_kw = _join_kwargs(num_partitions)
     # joined twice (one side per join): the packed sets are a fraction of
     # the text corpus (~8 B/shingle), so caching beats re-reading and
     # re-shingling the documents for the second join

@@ -110,7 +110,7 @@ class _SigGen:
         # (a null mask entry is dropped by Table.filter by default)
         t = t.filter(pc.greater(pc.utf8_length(t[self.text_col]), 0))
         ids = t[self.id_col].to_numpy(zero_copy_only=False)
-        strs = np.asarray(t[self.text_col].to_pylist(), dtype="U")
+        strs = t[self.text_col].to_numpy(zero_copy_only=False).astype("U")
         rows, sigs = _deletion_signatures(strs)
         return pa.table({
             "sig": pa.array(sigs.tolist(), pa.string()),
@@ -138,8 +138,8 @@ def edit1_pairs(ds, *, id_col: str, text_col: str,
                           "dist": pa.array([], pa.int64())})
         if len(t) == 0 or text_col not in t.column_names:
             return empty
-        a = np.asarray(t[text_col].to_pylist(), dtype="U")
-        b = np.asarray(t[f"{text_col}_b"].to_pylist(), dtype="U")
+        a = t[text_col].to_numpy(zero_copy_only=False).astype("U")
+        b = t[f"{text_col}_b"].to_numpy(zero_copy_only=False).astype("U")
         dist = _lev_le1_mask(a, b)
         keep = dist <= 1
         if not keep.any():

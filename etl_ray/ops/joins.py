@@ -380,6 +380,30 @@ def range_join(left, intervals, *, on: str, lo_col: str, hi_col: str,
 
 
 # ------------------------------------------------------------ semi / anti
+def hash_join_kw(num_partitions: Optional[int] = None,
+                 join_type: str = "inner") -> dict:
+    """Deadlock-proof sizing for ``Dataset.join``'s aggregator pool.
+
+    Ray's hash join parks ``num_partitions`` aggregator ACTORS for the
+    life of the operator; if their reserved CPUs cover the whole cluster
+    the join's own mapper tasks pend forever and the job wedges (measured:
+    8 x 0.5 CPU on a 4-CPU session — 4.0/4.0 CPU used, one 1-CPU mapper
+    pending until killed). Cap the pool's total reservation at HALF the
+    cluster's CPUs, scaling per-actor num_cpus down when the caller pins
+    a high partition count on a small cluster."""
+    import ray
+
+    cpus = int(ray.cluster_resources().get("CPU", 0)) or 4
+    if num_partitions is None:
+        num_partitions = max(2, min(16, cpus // 2))
+    agg_cpu = min(0.5, max(0.05, (cpus / 2.0) / num_partitions))
+    return dict(
+        join_type=join_type, num_partitions=num_partitions,
+        aggregator_ray_remote_args={"memory": 256 << 20,
+                                    "num_cpus": round(agg_cpu, 2)},
+    )
+
+
 def _distinct_keys(right, right_on: str, out_name: str):
     """Right side collapsed to its distinct keys BEFORE the shuffle (the
     semi/anti combiner: at most one row per distinct key per batch moves)."""
@@ -399,16 +423,16 @@ def _distinct_keys(right, right_on: str, out_name: str):
 
 
 def semi_join(left, right, *, on: str, right_on: Optional[str] = None,
-              num_partitions: int = 8):
+              num_partitions: Optional[int] = None):
     """Rows of ``left`` whose key appears in ``right`` (no right columns,
     no duplication). Shuffle variant: distinct right keys, then one hash
     join — use ``broadcast_semi_join`` when the key set fits a task."""
-    from etl_ray.ops.components import _JOIN_KW, _nonempty
+    from etl_ray.ops.components import _nonempty
 
     keys = _nonempty(_distinct_keys(right, right_on or on, "__semi_key"))
     joined = _nonempty(left).join(
         keys, on=(on,), right_on=("__semi_key",),
-        num_partitions=num_partitions, **_JOIN_KW)
+        **hash_join_kw(num_partitions))
 
     # The join may merge the right key into the left key column; drop the
     # marker column only when it survives.
@@ -421,7 +445,7 @@ def semi_join(left, right, *, on: str, right_on: Optional[str] = None,
 
 
 def anti_join(left, right, *, on: str, right_on: Optional[str] = None,
-              num_partitions: int = 8):
+              num_partitions: Optional[int] = None):
     """Rows of ``left`` whose key does NOT appear in ``right``: left_outer
     against the distinct right keys + null filter on the marker."""
     import pyarrow.compute as pc
@@ -435,9 +459,8 @@ def anti_join(left, right, *, on: str, right_on: Optional[str] = None,
             batch_format="pyarrow",
         ))
     joined = _nonempty(left).join(
-        keys, on=(on,), right_on=("__anti_key",), join_type="left_outer",
-        num_partitions=num_partitions,
-        aggregator_ray_remote_args={"memory": 256 << 20, "num_cpus": 0.5})
+        keys, on=(on,), right_on=("__anti_key",),
+        **hash_join_kw(num_partitions, join_type="left_outer"))
 
     def miss_only(t: pa.Table) -> pa.Table:
         if "__anti_hit" not in t.column_names:
@@ -450,7 +473,7 @@ def anti_join(left, right, *, on: str, right_on: Optional[str] = None,
 
 
 def except_keys(left, right, *, on: str, right_on: Optional[str] = None,
-                num_partitions: int = 8):
+                num_partitions: Optional[int] = None):
     """SQL EXCEPT on a key column: DISTINCT ``left`` keys with no match in
     ``right``. Left collapses to distinct keys per batch before the single
     hash anti-join (which collapses the right side itself) — the exchange
@@ -461,16 +484,16 @@ def except_keys(left, right, *, on: str, right_on: Optional[str] = None,
 
 
 def intersect_keys(left, right, *, on: str, right_on: Optional[str] = None,
-                   num_partitions: int = 8):
+                   num_partitions: Optional[int] = None):
     """DISTINCT keys present on BOTH sides (SQL INTERSECT on a key
     column). Both sides collapse to distinct keys per batch before the
     single hash join — the exchange moves only distinct keys."""
-    from etl_ray.ops.components import _JOIN_KW, _nonempty
+    from etl_ray.ops.components import _nonempty
 
     lk = _nonempty(_distinct_keys(left, on, on))
     rk = _nonempty(_distinct_keys(right, right_on or on, "__ik"))
     joined = lk.join(rk, on=(on,), right_on=("__ik",),
-                     num_partitions=num_partitions, **_JOIN_KW)
+                     **hash_join_kw(num_partitions))
 
     def tidy(t: pa.Table) -> pa.Table:
         if "__ik" in t.column_names:

@@ -30,6 +30,26 @@ def _matrix(batch_embeddings, dtype=np.float64) -> np.ndarray:
     return flat.reshape(n, -1)
 
 
+def _blob_matrix(col) -> np.ndarray:
+    """Fixed-width binary column of packed little-endian float64 rows →
+    (n, d) matrix straight from the Arrow buffers — no ``to_pylist`` /
+    per-row Python on the pair stream. Join/take outputs keep a single
+    contiguous values buffer with monotone offsets, so the common case is
+    one slice + view; ragged offsets (sliced arrays) fall back to one
+    vectorized gather."""
+    arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+    odt = np.int64 if pa.types.is_large_binary(arr.type) else np.int32
+    offs = np.frombuffer(arr.buffers()[1], dtype=odt)[
+        arr.offset: arr.offset + len(arr) + 1]
+    data = np.frombuffer(arr.buffers()[2], dtype=np.uint8)
+    w = int(offs[1] - offs[0])
+    if np.all(np.diff(offs) == w):
+        flat = data[int(offs[0]): int(offs[-1])]
+    else:  # packed blobs are fixed-width by construction
+        raise ValueError("_blob_matrix: rows are not fixed-width")
+    return np.ascontiguousarray(flat).view("<f8").reshape(len(arr), -1)
+
+
 def _normalize(m: np.ndarray) -> np.ndarray:
     norms = np.linalg.norm(m, axis=1, keepdims=True)
     norms[norms == 0] = 1.0
@@ -228,6 +248,70 @@ def ivf_build(ds, *, dim: int, nlist: int = 64, seed: int = 11,
     return indexed, C
 
 
+def probed_cells(query_matrix, centroids, nprobe: int) -> np.ndarray:
+    """Union over queries of each query's ``nprobe`` nearest cells — the
+    set of partitions a batched IVF query must READ."""
+    Q = _normalize(np.asarray(query_matrix, dtype=np.float64))
+    C = np.asarray(centroids, dtype=np.float64)
+    qc = Q @ C.T
+    probe = np.argsort(-qc, axis=1, kind="stable")[:, :nprobe]
+    return np.unique(probe)
+
+
+def ivf_persist(indexed, root: str) -> None:
+    """Persist an ivf_build corpus partitioned BY CELL — one directory per
+    cell_id, so a query's storage reads are limited to its probed cells
+    (scan bytes ∝ nprobe/nlist instead of the whole corpus). ``cell_id``
+    is duplicated into a partition column (hive layout drops the
+    partition column from the data files, and the pruned reader wants the
+    real column so IVFTopK skips the re-assignment matmul)."""
+
+    def dup(t: pa.Table) -> pa.Table:
+        return t.append_column("cell_part", t["cell_id"])
+
+    indexed.map_batches(dup, batch_format="pyarrow").write_parquet(
+        root, partition_cols=["cell_part"])
+
+
+def ivf_topk_partitioned(root: str, query_ids, query_matrix, *,
+                         centroids, k: int = 10, nprobe: int = 3,
+                         id_col: str = "vec_id", vec_col: str = "embedding",
+                         concurrency: int = 4):
+    """IVF ANN over an ivf_persist lake: ONLY the probed cells' directories
+    are listed and read — unprobed cells cost zero scan bytes, not just
+    zero FLOPs. Returns (topk_df, scan_stats) where scan_stats reports
+    bytes read vs total corpus bytes for the pruning audit."""
+    import os
+
+    import ray.data as rd
+
+    cells = probed_cells(query_matrix, centroids, nprobe)
+    probe_dirs = {f"cell_part={int(c)}" for c in cells}
+    read_paths, read_bytes, total_bytes = [], 0, 0
+    for entry in sorted(os.listdir(root)):
+        p = os.path.join(root, entry)
+        if not (entry.startswith("cell_part=") and os.path.isdir(p)):
+            continue
+        files = [e.path for e in os.scandir(p) if e.is_file()]
+        size = sum(os.stat(f).st_size for f in files)
+        total_bytes += size
+        if entry in probe_dirs:
+            # read_parquet wants concrete file paths when given a list
+            # (directory expansion only happens for a single root).
+            read_paths.extend(sorted(files))
+            read_bytes += size
+    stats = {"cells_probed": len(probe_dirs & set(
+                 e for e in os.listdir(root)
+                 if e.startswith("cell_part="))),
+             "cells_total": sum(1 for e in os.listdir(root)
+                                if e.startswith("cell_part=")),
+             "bytes_read": read_bytes, "bytes_total": total_bytes}
+    ds = rd.read_parquet(read_paths, columns=[id_col, vec_col, "cell_id"])
+    out = ivf_topk(ds, query_ids, query_matrix, k=k, nprobe=nprobe,
+                   concurrency=concurrency, centroids=centroids)
+    return out, stats
+
+
 def ivf_topk(ds, query_ids, query_matrix, *, k: int = 10, nlist: int = 8,
              nprobe: int = 3, seed: int = 11, id_col: str = "vec_id",
              vec_col: str = "embedding", concurrency: int = 4,
@@ -372,10 +456,8 @@ def lsh_bucketed_pairs(ds, *, threshold: float = 0.95, n_planes: int = 10,
                 ("id_a", pa.int64()), ("id_b", pa.int64()),
                 ("cosine", pa.float64()),
             ]).empty_table()
-        A = np.frombuffer(
-            b"".join(t["emb"].to_pylist()), dtype="<f8").reshape(len(t), -1)
-        B = np.frombuffer(
-            b"".join(t["emb_b"].to_pylist()), dtype="<f8").reshape(len(t), -1)
+        A = _blob_matrix(t["emb"])
+        B = _blob_matrix(t["emb_b"])
         cos = np.einsum("ij,ij->i", A, B)
         keep = cos >= threshold
         return pa.table({

@@ -193,24 +193,51 @@ def group_zscore(ds, *, col: str, by: str, id_col: str,
     return ds.map_batches(norm, batch_format="pandas")
 
 
-def grouped_quantiles(ds, *, col: str, by: str, qs: Sequence[float]):
-    """percentile_disc per group. Partitioning assumption: the number of
-    DISTINCT groups is small (each group's values fit one task) — right
-    for categorical strata like event types or languages; for millions of
-    groups use the sort-based exact_quantiles per hash-range instead.
+def grouped_quantiles(ds, *, col: str, by: str, qs: Sequence[float],
+                      num_buckets: int = 64):
+    """percentile_disc per group — high-cardinality safe. Keys hash into
+    ≤ ``num_buckets`` coarse buckets (the ops/ranking.py shape: one
+    vectorized pandas pass per BUCKET, never one lambda per distinct
+    group); inside a bucket every key's quantiles come from ONE sort by
+    (key, value) plus a gather at start + ceil(q·n) − 1 per (key, q).
+    Each bucket must fit one task (~rows/num_buckets) — the only
+    partitioning assumption; raise num_buckets for skewless giants.
+    Groups whose values are all NULL emit NULL, matching percentile_disc.
     Returns a Dataset (by, q, value)."""
-    qs = list(qs)
+    from etl_ray.ops.windows import _bucket_groups
 
-    def per_group(g: pd.DataFrame) -> pd.DataFrame:
-        v = np.sort(g[col].to_numpy(dtype=np.float64))
-        v = v[~np.isnan(v)]
-        n = len(v)
-        vals = [v[max(0, min(n - 1, math.ceil(q * n) - 1))] if n else None
-                for q in qs]
-        return pd.DataFrame({by: [g[by].iloc[0]] * len(qs),
-                             "q": qs, "value": vals})
+    qa = np.asarray(list(qs), dtype=np.float64)
+    nq = len(qa)
 
-    return ds.groupby(by).map_groups(per_group, batch_format="pandas")
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        codes, uniques = pd.factorize(g[by], sort=True)
+        v = g[col].to_numpy(dtype=np.float64)
+        ok = ~np.isnan(v)
+        ck, vk = codes[ok], v[ok]
+        order = np.lexsort((vk, ck))
+        ck, vk = ck[order], vk[order]
+        ucodes, starts, counts = np.unique(
+            ck, return_index=True, return_counts=True)
+        st = np.repeat(starts, nq)
+        n = np.repeat(counts, nq)
+        qq = np.tile(qa, len(ucodes))
+        idx = st + np.minimum(n - 1, np.maximum(
+            0, np.ceil(qq * n).astype(np.int64) - 1))
+        out = pd.DataFrame({
+            by: np.asarray(uniques)[np.repeat(ucodes, nq)],
+            "q": qq, "value": vk[idx],
+        })
+        # keys present only with NULL values: percentile_disc emits NULL
+        allnull = np.setdiff1d(np.arange(len(uniques)), ucodes)
+        if len(allnull):
+            out = pd.concat([out, pd.DataFrame({
+                by: np.asarray(uniques)[np.repeat(allnull, nq)],
+                "q": np.tile(qa, len(allnull)),
+                "value": np.nan,
+            })], ignore_index=True)
+        return out
+
+    return _bucket_groups(ds, [by], per_bucket, num_buckets)
 
 
 def distinct_count_by(ds, *, by: str, key_col: str, alias: str = "n"):
@@ -272,8 +299,10 @@ def grouped_mad(ds, *, col: str, by: str) -> pd.DataFrame:
     grouped-percentile machinery: (1) per-group median (percentile_disc
     element), broadcast as a tiny map; (2) per-group median of the
     integer-cent absolute deviations — exact, no float summation
-    anywhere. Same partitioning assumption as ``grouped_quantiles``
-    (few distinct strata). Returns pandas (by, median, mad)."""
+    anywhere. Inherits ``grouped_quantiles``' high-cardinality-safe
+    bucketed machinery; the only extra bound is the broadcast median
+    map (one float per distinct group — the small-side-lookup
+    pattern). Returns pandas (by, median, mad)."""
     import ray
 
     med_df = grouped_quantiles(ds, col=col, by=by, qs=[0.5]).to_pandas()

@@ -215,9 +215,11 @@ def rows_to_table(payloads: List[str]) -> pa.Table:
     return pa.Table.from_pylist([json.loads(p) for p in payloads])
 
 
-def parse_archives(root_or_paths, **read_kwargs):
+def parse_archives(root_or_paths, registry: Optional[dict] = None,
+                   **read_kwargs):
     """End-to-end: archives → members → parsed standard-column rows."""
     from etl_ray.sources.archive import read_archives
 
     members = read_archives(root_or_paths, **read_kwargs)
-    return members.map_batches(ParseMembers(), batch_format="pyarrow")
+    return members.map_batches(ParseMembers(registry),
+                               batch_format="pyarrow")

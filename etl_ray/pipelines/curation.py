@@ -12,12 +12,12 @@ ops/components.py); this module only wires them, so the whole pipeline is
 reproducible as one SQL statement (__ray_entry__._sql_corpus_curation).
 
 Scale notes: enrich+filter stream (stateless map_batches, text never
-shuffles); the pair list after LSH banding and verification is orders of
-magnitude smaller than the corpus, so the cluster drop-list is collected
-and BROADCAST (ray.put) into the final filter — the small-side-lookup
-pattern. If a corpus ever produced a drop-list too big to broadcast, swap
-the final stage for a hash anti-join on doc_id (Dataset.join left_outer +
-null filter); the wiring point is marked below.
+shuffles); the final drop stage is a distributed hash ANTI-JOIN on
+doc_id against the cluster table (ops/joins.py anti_join) — the
+drop-list never materializes on the driver, so a boilerplate-heavy
+corpus whose dup-cluster table has millions of rows still streams. The
+cluster table itself stays distributed end-to-end: LSH pairs → connected
+components → keep flags → anti-join, no to_pandas anywhere.
 """
 
 from __future__ import annotations
@@ -47,11 +47,11 @@ def curate_corpus(sf_dir: str, *, lang: str = "en", min_words: int = 20,
                   threshold: float = 0.3, concurrency: int = 2):
     """Returns the surviving corpus as a pandas DataFrame
     (doc_id, lang_pred, n_words), sorted by doc_id."""
-    import ray
     import ray.data as rd
 
     from etl_ray.ops.components import dup_clusters
     from etl_ray.ops.dedup import minhash_lsh_candidates, verify_candidates
+    from etl_ray.ops.joins import anti_join
 
     docs = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
                            columns=["doc_id", "text"])
@@ -63,16 +63,17 @@ def curate_corpus(sf_dir: str, *, lang: str = "en", min_words: int = 20,
 
     cand = minhash_lsh_candidates(kept, concurrency=concurrency)
     pairs = verify_candidates(kept, cand, threshold=threshold)
-    clusters = dup_clusters(pairs).to_pandas()  # small: nodes-in-pairs only
-    drop = set(clusters.loc[~clusters["keep"], "doc_id"].tolist())
+    def non_canonical(t):  # non-canonical cluster members only
+        import pyarrow.compute as pc
 
-    # broadcast drop-list; swap for a hash anti-join if it outgrows a task
-    drop_ref = ray.put(drop)
+        return t.filter(pc.invert(t["keep"])).select(["doc_id"])
 
-    def final(df: pd.DataFrame) -> pd.DataFrame:
-        d = ray.get(drop_ref)
-        out = df[~df["doc_id"].isin(d)]
-        return out[["doc_id", "lang_pred", "n_words"]]
-
-    out = kept.map_batches(final, batch_format="pandas").to_pandas()
+    drops = dup_clusters(pairs).map_batches(
+        non_canonical, batch_format="pyarrow")
+    survivors = anti_join(
+        kept.map_batches(
+            lambda df: df[["doc_id", "lang_pred", "n_words"]],
+            batch_format="pandas"),
+        drops, on="doc_id")
+    out = survivors.to_pandas()
     return out.sort_values("doc_id").reset_index(drop=True)

@@ -60,6 +60,9 @@ class WorkerService:
                             q["wal"], q["lake"]))
                     elif url.path == "/status":
                         self._reply(200, service.status(q["lake"]))
+                    elif url.path == "/schema":
+                        self._reply(200, service.schema_dictionary(
+                            q["lake"]))
                     elif url.path == "/metrics":
                         body = service.metrics(q["lake"]).encode()
                         self.send_response(200)
@@ -115,6 +118,31 @@ class WorkerService:
             "applied_through_segment": m.applied_through_segment,
             "partitions": len(m.partitions),
             "lineage": {k: v for k, v in m.lineage.items() if k != "commits"},
+        }
+
+    def schema_dictionary(self, lake: str) -> dict:
+        """The lake's published data dictionary: every field with its type
+        and description (the reference merges YAML description assets into
+        the published schema, schema/schema.go:101-136). Descriptions ride
+        in Arrow field metadata, so any schema committed by an annotated
+        writer round-trips them through the manifest automatically;
+        unannotated fields fall back to the shipped cdc_lake docs."""
+        from etl_ray.schema import (annotate_schema, describe_schema,
+                                    schema_docs_for)
+        from etl_ray.state.manifest import Manifest
+
+        m = Manifest.load(lake)
+        schema = m.schema()
+        if schema is None:
+            return {"version": m.version, "fields": []}
+        schema = annotate_schema(schema, {
+            **schema_docs_for("cdc_lake"),
+            **{p: d for p, _t, d in describe_schema(schema) if d},
+        })
+        return {
+            "version": m.version,
+            "fields": [{"path": p, "type": t, "description": d}
+                       for p, t, d in describe_schema(schema)],
         }
 
     def metrics(self, lake: str) -> str:

@@ -10,7 +10,7 @@ doubles as the natural multi-node path (the exchange dir lives next to the
 lake on the shared filesystem / object store).
 
   Stage 1 (task pool, stateless): validate each batch, sort rows by
-    bucket = shard % n_buckets, write ONE fragment file per batch with ONE
+    bucket = mix(shard) % n_buckets, write ONE fragment file per batch, ONE
     ROW GROUP (parquet) or RECORD BATCH (Arrow IPC) per bucket under
     ``<exchange>/frag-*`` (tmp+rename atomic). The returned stats table
     carries the (file, row_group) -> bucket index, so no per-bucket
@@ -64,6 +64,23 @@ FRAG_STATS_SCHEMA = pa.schema(
         pa.field("row_group", pa.int64()),
     ]
 )
+
+
+def _shard_bucket(shard: np.ndarray, n_buckets: int) -> np.ndarray:
+    """shard → stage-2 bucket, via a multiplicative (Fibonacci) mix.
+
+    A plain ``shard % n_buckets`` is DEGENERATE: shards are
+    ``part * max_salt + salt`` (config.shard_of) and salt is almost always
+    0, so shards are multiples of max_salt — with max_salt=8 and 16
+    buckets only buckets {0, 8} ever fill, and stage 2 runs two tasks no
+    matter how many CPUs exist (measured: the entire 2→8 CPU e2e scaling
+    plateau). The mix spreads any arithmetic progression of shards evenly;
+    it only needs to be deterministic within a commit (descriptors are
+    built from the recorded bucket ids, and shard→bucket is re-derived
+    nowhere else)."""
+    mixed = (shard.astype(np.uint64) * np.uint64(11400714819323198485)) \
+        >> np.uint64(40)
+    return (mixed % np.uint64(n_buckets)).astype(np.int64)
 
 
 def exchange_path(lake_dir: str, commit_id: str, root: str = None) -> str:
@@ -230,11 +247,11 @@ class FragmentWriter:
                 ktab = ktab.append_column(
                     "__pidx", pa.array(np.arange(n, dtype=np.int32)))
                 split_and_write(self._shrink(ktab),
-                                shard % self.n_buckets,
+                                _shard_bucket(shard, self.n_buckets),
                                 f"frag-{tag}-k.arrow")
             else:
                 split_and_write(self._shrink(batch),
-                                shard % self.n_buckets,
+                                _shard_bucket(shard, self.n_buckets),
                                 f"frag-{tag}.{ext}")
         return pa.table(
             {
@@ -355,11 +372,18 @@ class ApplyBucket:
         return pa.concat_tables(acc, promote_options="default"), true_counts
 
     def __call__(self, desc: pa.Table) -> pa.Table:
+        import json
+        import time as _time
+
         from etl_ray.stages.apply import STATS_SCHEMA
 
+        trace = os.environ.get("ETL_RAY_STAGE2_TRACE")
         outs = []
         for row in desc.to_pylist():
+            _t0 = _time.monotonic()
             table, true_counts = self._bucket_table(row)
+            if trace:
+                _t1 = _time.monotonic()
             if "__gpidx" in table.column_names:
                 # winners-only payload gather: ApplyShards takes exactly
                 # the LWW winners' rows from the mmap'd arrival-order
@@ -369,6 +393,14 @@ class ApplyBucket:
                 stats = self.inner(table, payload=self._payload_tables)
             else:
                 stats = self.inner(table)
+            if trace:
+                with open(trace, "a") as fh:
+                    fh.write(json.dumps({
+                        "pid": os.getpid(), "bucket": int(row["bucket"]),
+                        "rows": len(table),
+                        "read_collapse_s": round(_t1 - _t0, 3),
+                        "apply_s": round(_time.monotonic() - _t1, 3),
+                    }) + "\n")
             # restore pre-collapse rows_in per shard (ADVICE r02: the
             # failure-ratio denominator and hot-partition detection must
             # see real event counts, not collapsed ones)

@@ -146,8 +146,17 @@ def test_multimodal_plumbing():
     # deterministic: same payload → same feature
     f = out.sort_values("doc_id")["feature"].tolist()
     assert f[0] == f[1]  # docs 0 and 1 identical text
-    with pytest.raises(NotImplementedError):
-        RealImageDecoder()
+    # the live slot is now a REAL pure-numpy PPM/PGM/BMP decoder
+    dec = RealImageDecoder()
+    ppm = b"P5\n2 2\n255\n" + bytes([10, 20, 30, 40])
+    got = dec(pa.table({
+        "doc_id": pa.array([1], pa.int64()),
+        "payload": pa.array([ppm], pa.binary()),
+        "payload_bytes": pa.array([len(ppm)], pa.int64()),
+    })).to_pylist()[0]
+    assert (got["width"], got["height"], got["channels"]) == (2, 2, 1)
+    assert got["mean_luma"] == 25.0
+    assert got["decode_error"] is None
 
 
 @pytest.mark.usefixtures("ray_session")

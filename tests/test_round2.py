@@ -197,7 +197,8 @@ def test_fragment_file_per_batch_row_group_per_bucket(tmp_path):
     round-trip losslessly."""
     import pandas as pd
 
-    from etl_ray.stages.exchange import FragmentWriter, bucket_descriptors
+    from etl_ray.stages.exchange import (FragmentWriter, _shard_bucket,
+                                          bucket_descriptors)
 
     c = cfg()
     target = pa.schema([
@@ -242,7 +243,7 @@ def test_fragment_file_per_batch_row_group_per_bucket(tmp_path):
         for f, rg in zip(d["files"], d["rgs"]):
             t = pq.ParquetFile(os.path.join(exch, f)).read_row_group(rg)
             shard = t["__shard"].to_numpy(zero_copy_only=False)
-            assert (shard % n_buckets == d["bucket"]).all()
+            assert (_shard_bucket(shard, n_buckets) == d["bucket"]).all()
             total += len(t)
     assert total == 900
 

@@ -115,3 +115,114 @@ def test_scamper_single_quote_escapes_decoded():
     assert got == {"a": "x\ny\tz\\w", "b": "qA"}
     # \' still works and unknown escapes pass through verbatim
     assert tolerant_json_loads(r"{'k': 'it\'s \z'}") == {"k": r"it's \z"}
+
+
+def test_grouped_quantiles_high_cardinality_50k_groups(ray_session):
+    """The bucketed shape must stay exact at 50k distinct groups (the old
+    per-group map_groups shape is O(distinct keys) Python dispatch)."""
+    import ray.data as rd
+
+    from etl_ray.ops.stats import grouped_quantiles
+
+    rng = np.random.default_rng(3)
+    n_groups = 50_000
+    g = np.repeat(np.arange(n_groups), 4)
+    v = rng.standard_normal(len(g))
+    # a handful of all-NULL groups → percentile_disc NULL rows
+    v[g < 3] = np.nan
+    df = pd.DataFrame({"g": [f"k{x:06d}" for x in g], "v": v})
+    out = grouped_quantiles(rd.from_pandas(df).repartition(8),
+                            col="v", by="g", qs=[0.5, 0.9]).to_pandas()
+    assert len(out) == n_groups * 2
+    # exact check on a sample of groups against the direct definition
+    by_g = df.groupby("g")["v"]
+    import math
+    for key in ["k000001", "k000123", "k025000", "k049999"]:
+        vals = np.sort(by_g.get_group(key).dropna().to_numpy())
+        sub = out[out["g"] == key].set_index("q")["value"]
+        for q in (0.5, 0.9):
+            if len(vals) == 0:
+                assert np.isnan(sub[q])
+            else:
+                exp = vals[max(0, min(len(vals) - 1,
+                                      math.ceil(q * len(vals)) - 1))]
+                assert sub[q] == exp
+
+
+def test_curation_drop_via_anti_join_large_droplist(ray_session, tmp_path):
+    """The final drop stage is a distributed anti-join — exercised with a
+    cluster table big enough that a broadcast set would be unreasonable
+    relative to the corpus (every doc but one per cluster dropped)."""
+    import ray.data as rd
+
+    from etl_ray.ops.components import dup_clusters
+    from etl_ray.ops.joins import anti_join
+
+    n = 20_000
+    # 2k clusters of 10 docs each: drop-list = 18k of 20k docs
+    pairs = pd.DataFrame({
+        "id_a": np.repeat(np.arange(0, n, 10), 9),
+        "id_b": np.concatenate(
+            [np.arange(s + 1, s + 10) for s in range(0, n, 10)]),
+    })
+    corpus = rd.from_pandas(pd.DataFrame({"doc_id": np.arange(n)}))
+    drops = dup_clusters(rd.from_pandas(pairs)).map_batches(
+        lambda t: t.filter(pa.compute.invert(t["keep"])).select(["doc_id"]),
+        batch_format="pyarrow")
+    out = anti_join(corpus, drops, on="doc_id").to_pandas()
+    assert sorted(out["doc_id"]) == list(range(0, n, 10))
+
+
+def test_blob_matrix_reads_arrow_buffers():
+    from etl_ray.ops.similarity import _blob_matrix
+
+    M = np.arange(12, dtype="<f8").reshape(3, 4)
+    w = 4 * 8
+    offs = np.arange(0, (3 + 1) * w, w, dtype=np.int32)
+    arr = pa.BinaryArray.from_buffers(
+        pa.binary(), 3,
+        [None, pa.py_buffer(offs.tobytes()), pa.py_buffer(M.tobytes())])
+    got = _blob_matrix(arr)
+    assert np.array_equal(got, M)
+    # sliced array (non-zero offset) still decodes the right rows
+    assert np.array_equal(_blob_matrix(arr.slice(1, 2)), M[1:3])
+    # chunked
+    got2 = _blob_matrix(pa.chunked_array([arr, arr.slice(0, 1)]))
+    assert np.array_equal(got2, np.vstack([M, M[:1]]))
+
+
+def test_ivf_partitioned_reads_only_probed_cells(ray_session, tmp_path):
+    """ivf_persist lays the corpus out one directory per cell; the
+    partitioned query must (a) read strictly fewer bytes than the corpus,
+    (b) return exactly what the full-corpus IVF query returns (unprobed
+    cells get zero FLOPs either way — pruning the READ cannot change the
+    result)."""
+    import ray.data as rd
+
+    from etl_ray.ops.similarity import (ivf_build, ivf_persist, ivf_topk,
+                                        ivf_topk_partitioned)
+
+    rng = np.random.default_rng(5)
+    n, dim = 4000, 16
+    M = rng.standard_normal((n, dim)).astype(np.float32)
+    flat = pa.array(M.reshape(-1))
+    emb = pa.FixedSizeListArray.from_arrays(flat, dim).cast(
+        pa.list_(pa.float32()))
+    ds = rd.from_arrow(pa.table({
+        "vec_id": pa.array(np.arange(n, dtype=np.int64)), "embedding": emb,
+    })).repartition(4)
+    indexed, C = ivf_build(ds, dim=dim, nlist=16, seed=5, concurrency=2)
+    root = str(tmp_path / "ivf_lake")
+    ivf_persist(indexed, root)
+    Q = M[:3].astype(np.float64)
+    qids = np.arange(3, dtype=np.int64)
+    got, stats = ivf_topk_partitioned(root, qids, Q, centroids=C, k=5,
+                                      nprobe=3, concurrency=2)
+    assert 0 < stats["cells_probed"] < stats["cells_total"]
+    assert 0 < stats["bytes_read"] < stats["bytes_total"]
+    exp = ivf_topk(indexed, qids, Q, k=5, nprobe=3, centroids=C,
+                   concurrency=2)
+    cols = ["query_id", "vec_id", "rank"]
+    pd.testing.assert_frame_equal(
+        got[cols].sort_values(cols).reset_index(drop=True),
+        exp[cols].sort_values(cols).reset_index(drop=True))
