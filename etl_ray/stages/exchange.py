@@ -265,6 +265,71 @@ class FragmentWriter:
         )
 
 
+def rowgroup_descriptors(seg_paths: List[str],
+                         parallel_threshold: int = 64) -> List[dict]:
+    """Stage-1 work-list: one descriptor per (segment file, row group).
+
+    Fusing the parquet DECODE into the stage-1 task (instead of Ray's
+    unfused ReadParquet → map_batches chain) removes a full object-store
+    round trip of the entire WAL per commit — measured 3.6-4.4 s → ~1.0 s
+    for the 1 GB/2M-event stage 1 at 8 CPUs, and it scales with CPUs up
+    to the row-group count. Footers are read driver-side for few files
+    and fanned out as Ray tasks past ``parallel_threshold`` (a 100 TB WAL
+    has thousands of segments; footer reads must not serialize on the
+    driver)."""
+
+    def footers(paths: List[str]) -> List[dict]:
+        from etl_ray.util import resolve_fs
+
+        out = []
+        for p in paths:
+            f, lp = resolve_fs(p)
+            with f.open_input_file(lp) as fh:
+                ngroups = pq.ParquetFile(fh).metadata.num_row_groups
+            out.extend({"path": p, "rg": g} for g in range(ngroups))
+        return out
+
+    if len(seg_paths) <= parallel_threshold:
+        return footers(seg_paths)
+    import ray
+
+    nchunk = max(1, len(seg_paths) // 32)
+    chunks = [seg_paths[i:i + nchunk]
+              for i in range(0, len(seg_paths), nchunk)]
+    fn = ray.remote(num_cpus=0.25)(footers)
+    return [d for part in ray.get([fn.remote(c) for c in chunks])
+            for d in part]
+
+
+class FragmentReadWriter:
+    """Stage 1 with the parquet decode fused into the task: each input row
+    is a (path, rg) descriptor from ``rowgroup_descriptors``; the task
+    reads exactly its row group where it runs, slices it into
+    ``config.batch_size`` chunks and runs the normal FragmentWriter on
+    each — identical fragments/stats, no WAL bytes through the object
+    store."""
+
+    def __init__(self, config: EngineConfig, target_schema,
+                 salted_parts, exchange_dir: str, n_buckets: int):
+        self.inner = FragmentWriter(config, target_schema, salted_parts,
+                                    exchange_dir, n_buckets)
+        self.batch_size = config.batch_size
+
+    def __call__(self, desc: pa.Table) -> pa.Table:
+        from etl_ray.util import resolve_fs
+
+        outs = []
+        for row in desc.to_pylist():
+            f, lp = resolve_fs(row["path"])
+            with f.open_input_file(lp) as fh:
+                t = pq.ParquetFile(fh).read_row_group(row["rg"])
+            for i in range(0, len(t), self.batch_size):
+                outs.append(self.inner(t.slice(i, self.batch_size)))
+        if not outs:
+            return FRAG_STATS_SCHEMA.empty_table()
+        return pa.concat_tables(outs)
+
+
 def bucket_descriptors(frag_stats, n_buckets: int) -> List[dict]:
     """Stage-2 work-list from stage-1 stats (tiny, driver-side): one
     descriptor per bucket listing its (fragment file, row group) pairs."""
