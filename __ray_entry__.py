@@ -1788,6 +1788,64 @@ def _q_text_quality(sf_dir: str):
     return out.sort_values("doc_id").reset_index(drop=True)
 
 
+def _q_pii_scrub(sf_dir: str):
+    """PII masking over the corpus: the documents table is first enriched
+    with DETERMINISTIC synthetic PII (email + dotted quad + phone derived
+    from doc_id — the synthetic corpus carries none of its own), then
+    scrubbed by the vectorized RE2 rule chain (ops/textops.py scrub_pii).
+    The oracle rebuilds the identical enrichment and replays the identical
+    rule chain as nested regexp_replace — DuckDB is RE2 too, so the masked
+    text must match byte for byte."""
+    import pandas as pd
+    import ray.data as rd
+
+    from etl_ray.ops.textops import scrub_pii
+
+    ds = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                         columns=["doc_id", "text"])
+
+    def enrich(df: pd.DataFrame) -> pd.DataFrame:
+        did = df["doc_id"]
+        df = df.copy()
+        df["text"] = (
+            df["text"].astype(str)
+            + " contact user" + did.astype(str)
+            + "@example.org from 10.0." + (did % 256).astype(str)
+            + ".7 or +44 20 7946 09" + (did % 90 + 10).astype(str)
+        )
+        return df
+
+    out = scrub_pii(ds.map_batches(enrich, batch_format="pandas"))
+    return out.to_pandas().sort_values("doc_id").reset_index(drop=True)
+
+
+def _sql_pii_scrub() -> str:
+    from etl_ray.ops.textops import PII_RULES
+
+    (em, ip, ph) = (r[1] for r in PII_RULES)
+    return f"""
+WITH enriched AS (
+  SELECT doc_id,
+         text || ' contact user' || doc_id || '@example.org from 10.0.'
+              || (doc_id % 256) || '.7 or +44 20 7946 09'
+              || (doc_id % 90 + 10) AS text
+  FROM documents
+), e1 AS (
+  SELECT doc_id, text,
+         regexp_replace(text, '{em}', '<EMAIL>', 'g') AS t1
+  FROM enriched
+), e2 AS (
+  SELECT *, regexp_replace(t1, '{ip}', '<IP>', 'g') AS t2 FROM e1
+)
+SELECT doc_id,
+       regexp_replace(t2, '{ph}', '<PHONE>', 'g') AS text_clean,
+       CAST(len(regexp_extract_all(text, '{em}')) AS BIGINT) AS n_email,
+       CAST(len(regexp_extract_all(t1, '{ip}')) AS BIGINT) AS n_ip,
+       CAST(len(regexp_extract_all(t2, '{ph}')) AS BIGINT) AS n_phone
+FROM e2 ORDER BY doc_id
+"""
+
+
 def _q_doc_fingerprint(sf_dir: str):
     import ray.data as rd
 
@@ -2429,6 +2487,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "text_quality": _q_text_quality,
         "doc_fingerprint": _q_doc_fingerprint,
         "lang_id": _q_lang_id,
+        "pii_scrub": _q_pii_scrub,
         "pack_sequences": _q_pack_sequences,
         "multimodal_decode": _q_multimodal,
         "multimodal_real_decode": _q_multimodal_real,
@@ -3171,4 +3230,5 @@ ORDER BY c.doc_id
         "dedup_simhash": _sql_dedup_simhash(10),
         "dedup_lsh_embedding": _sql_dedup_lsh_embedding(6, _EMB_THRESHOLD),
         "lang_id": _sql_lang_id(),
+        "pii_scrub": _sql_pii_scrub(),
     }

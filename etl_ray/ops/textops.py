@@ -136,3 +136,44 @@ def token_histogram(ds, *, text_col: str = "text"):
         .groupby("token")
         .aggregate(Sum("n", alias_name="n"))
     )
+
+
+# PII scrub rules, ordered: emails first (their local parts contain digits
+# a later pattern must not see), then dotted quads, then +international
+# phone runs. RE2 syntax ONLY — Arrow's replace_substring_regex and the
+# DuckDB oracle's regexp_replace both run RE2, so the masked text is
+# bit-identical across engines. The free-text analog of the shipped
+# field-rule scrubs in etl_ray/ndtresult.py (the reference nulls client
+# network identity before rows reach the lake,
+# /root/reference/parser/ndt7_result.go:65-134).
+PII_RULES = (
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ip", r"\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b", "<IP>"),
+    ("phone", r"\+[0-9][0-9 \-]{7,}[0-9]", "<PHONE>"),
+)
+
+
+def scrub_pii(ds, *, text_col: str = "text", id_col: str = "doc_id"):
+    """Mask emails, IPv4 addresses and international phone numbers in a
+    text corpus → (id, text_clean, n_email, n_ip, n_phone).
+
+    Stateless vectorized map_batches: one compiled-RE2 pass per rule over
+    the Arrow string column, zero Python per row; counts are taken on the
+    progressively-scrubbed text so the rule chain is order-exact
+    (reproducible in SQL as nested regexp_replace). Streams at any corpus
+    size — nothing shuffles, nothing reaches the driver."""
+    import pyarrow.compute as pc
+
+    def f(t: pa.Table) -> pa.Table:
+        txt = t[text_col]
+        cols = {id_col: t[id_col]}
+        counts = {}
+        for name, pat, rep in PII_RULES:
+            counts[f"n_{name}"] = pc.cast(
+                pc.count_substring_regex(txt, pat), pa.int64())
+            txt = pc.replace_substring_regex(txt, pat, rep)
+        cols["text_clean"] = txt
+        cols.update(counts)
+        return pa.table(cols)
+
+    return ds.map_batches(f, batch_format="pyarrow")

@@ -226,3 +226,28 @@ def test_ivf_partitioned_reads_only_probed_cells(ray_session, tmp_path):
     pd.testing.assert_frame_equal(
         got[cols].sort_values(cols).reset_index(drop=True),
         exp[cols].sort_values(cols).reset_index(drop=True))
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_scrub_pii_masks_and_counts():
+    import ray.data as rd
+
+    from etl_ray.ops.textops import scrub_pii
+
+    ds = rd.from_arrow(pa.table({
+        "doc_id": pa.array([1, 2, 3], pa.int64()),
+        "text": pa.array([
+            "mail a.b+c@ex.co and b@ex.io from 10.0.0.1 call +1 555-0100",
+            "no pii here",
+            "ip 256.1.2.3 still matches the dotted-quad shape",
+        ], pa.string()),
+    }))
+    out = scrub_pii(ds).to_pandas().sort_values("doc_id")
+    assert out["text_clean"].tolist() == [
+        "mail <EMAIL> and <EMAIL> from <IP> call <PHONE>",
+        "no pii here",
+        "ip <IP> still matches the dotted-quad shape",
+    ]
+    assert out["n_email"].tolist() == [2, 0, 0]
+    assert out["n_ip"].tolist() == [1, 0, 1]
+    assert out["n_phone"].tolist() == [1, 0, 0]
