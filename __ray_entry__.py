@@ -1788,6 +1788,78 @@ def _q_text_quality(sf_dir: str):
     return out.sort_values("doc_id").reset_index(drop=True)
 
 
+def _q_contamination(sf_dir: str):
+    """Train/test overlap (decontamination) check: every 37th document
+    plays the held-out benchmark; each corpus document reports how many of
+    its DISTINCT 3-gram shingles appear in the benchmark shingle set
+    (ops/dedup.py contamination_flags — benchmark hashes broadcast once,
+    corpus streams, binary-search membership). The oracle replays the
+    identical md5-word-hash + polynomial-fold shingle machinery in
+    HUGEINT SQL (the same CTE chain the LSH oracle uses)."""
+    import pyarrow.compute as pc
+    import ray.data as rd
+
+    from etl_ray.ops.dedup import benchmark_shingles, contamination_flags
+
+    docs = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                           columns=["doc_id", "text"])
+    def every_37th(t):
+        import numpy as np
+        import pyarrow as pa
+
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        return t.filter(pa.array(ids % 37 == 0))
+
+    bench = docs.map_batches(every_37th, batch_format="pyarrow")
+    bh = benchmark_shingles(bench, shingle_n=3)
+    out = contamination_flags(docs, bh, shingle_n=3).to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+def _sql_contamination() -> str:
+    f = _fold_sql
+    return f"""
+WITH docs AS (SELECT doc_id, {_NORM_SQL} AS norm FROM documents),
+warr AS (
+  SELECT doc_id, CASE WHEN norm = '' THEN CAST([] AS VARCHAR[])
+                      ELSE string_split(norm, ' ') END AS ws
+  FROM docs
+),
+wexp AS (
+  SELECT doc_id, generate_subscripts(ws, 1) AS i, unnest(ws) AS w,
+         len(ws) AS nw
+  FROM warr
+),
+words AS (SELECT doc_id, i, {_md5le64_sql('w')} AS h, nw FROM wexp),
+sh AS (
+  SELECT w1.doc_id,
+         CAST({f(f('CAST(w1.h AS HUGEINT)', 'w2.h'), 'w3.h')} AS HUGEINT) AS s
+  FROM words w1
+  JOIN words w2 ON w2.doc_id = w1.doc_id AND w2.i = w1.i + 1
+  JOIN words w3 ON w3.doc_id = w1.doc_id AND w3.i = w1.i + 2
+  UNION ALL
+  SELECT w1.doc_id,
+         CAST(CASE WHEN w1.nw = 1 THEN CAST(w1.h AS HUGEINT)
+              ELSE {f('CAST(w1.h AS HUGEINT)', 'w2.h')} END AS HUGEINT) AS s
+  FROM words w1
+  LEFT JOIN words w2 ON w2.doc_id = w1.doc_id AND w2.i = 2
+  WHERE w1.nw < 3 AND w1.i = 1
+),
+bench AS (SELECT DISTINCT s FROM sh WHERE doc_id % 37 = 0),
+hits AS (
+  SELECT d.doc_id, count(DISTINCT d.s) AS n_hits
+  FROM (SELECT DISTINCT doc_id, s FROM sh) d
+  JOIN bench b ON b.s = d.s
+  GROUP BY d.doc_id
+)
+SELECT d.doc_id,
+       CAST(COALESCE(h.n_hits, 0) AS BIGINT) AS n_hits,
+       COALESCE(h.n_hits, 0) > 0 AS contaminated
+FROM documents d LEFT JOIN hits h USING (doc_id)
+ORDER BY d.doc_id
+"""
+
+
 def _q_pii_scrub(sf_dir: str):
     """PII masking over the corpus: the documents table is first enriched
     with DETERMINISTIC synthetic PII (email + dotted quad + phone derived
@@ -2488,6 +2560,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_fingerprint": _q_doc_fingerprint,
         "lang_id": _q_lang_id,
         "pii_scrub": _q_pii_scrub,
+        "contamination_check": _q_contamination,
         "pack_sequences": _q_pack_sequences,
         "multimodal_decode": _q_multimodal,
         "multimodal_real_decode": _q_multimodal_real,
@@ -3231,4 +3304,5 @@ ORDER BY c.doc_id
         "dedup_lsh_embedding": _sql_dedup_lsh_embedding(6, _EMB_THRESHOLD),
         "lang_id": _sql_lang_id(),
         "pii_scrub": _sql_pii_scrub(),
+        "contamination_check": _sql_contamination(),
     }

@@ -588,3 +588,86 @@ def simhash_candidates(ds, *, max_hamming: int = 3, text_col: str = "text",
 
     cand = cand.map_batches(hamming, batch_format="pyarrow")
     return _dedup_pairs(cand, [Min("hamming", alias_name="hamming")])
+
+
+# ------------------------------------------------- benchmark contamination
+def benchmark_shingles(bench_ds, *, shingle_n: int = 3,
+                       text_col: str = "text") -> np.ndarray:
+    """DISTINCT shingle hashes of a benchmark/eval corpus, sorted, on the
+    driver. The benchmark is the SMALL side by definition (held-out eval
+    sets are orders of magnitude smaller than a training corpus); the
+    distributed pass collapses to distinct hashes per batch before the
+    groupby, so only distinct hashes ever shuffle."""
+    from ray.data.aggregate import Count
+
+    def per_batch(t: pa.Table) -> pa.Table:
+        if len(t) == 0 or text_col not in t.column_names:
+            return pa.table({"h": pa.array([], pa.uint64())})
+        texts = normalize_for_fingerprint(t[text_col].to_pandas())
+        flat, dow, _n = _explode_words(texts)
+        if len(flat) == 0:
+            return pa.table({"h": pa.array([], pa.uint64())})
+        sh, _docs = _word_shingle_hashes(md5le64(flat), dow, shingle_n)
+        return pa.table({"h": pa.array(np.unique(sh))})
+
+    distinct = (
+        bench_ds.map_batches(per_batch, batch_format="pyarrow")
+        .groupby("h").aggregate(Count(alias_name="_n"))
+        .select_columns(["h"]).to_pandas()
+    )
+    return np.sort(distinct["h"].to_numpy().astype(np.uint64))
+
+
+def contamination_flags(ds, bench_hashes: np.ndarray, *,
+                        shingle_n: int = 3, text_col: str = "text",
+                        id_col: str = "doc_id"):
+    """Train/test overlap detection: per document, how many of its
+    DISTINCT word n-gram shingles appear in the benchmark shingle set →
+    (id, n_hits, contaminated). The decontamination pass every serious
+    pre-training pipeline runs before training.
+
+    Scale shape: the benchmark hash set is broadcast ONCE (``ray.put``)
+    and binary-searched inside each task — the corpus streams, nothing
+    shuffles, membership is O(log |bench|) per shingle with zero Python
+    per row."""
+    import ray
+
+    ref = ray.put(np.ascontiguousarray(bench_hashes, dtype=np.uint64))
+
+    def check(t: pa.Table) -> pa.Table:
+        empty = pa.schema([
+            pa.field(id_col, t.schema.field(id_col).type
+                     if id_col in t.column_names else pa.int64()),
+            pa.field("n_hits", pa.int64()),
+            pa.field("contaminated", pa.bool_()),
+        ])
+        if len(t) == 0 or text_col not in t.column_names:
+            return empty.empty_table()
+        bh = ray.get(ref)
+        ids = t[id_col]
+        texts = normalize_for_fingerprint(t[text_col].to_pandas())
+        nd = len(t)
+        hits = np.zeros(nd, np.int64)
+        flat, dow, _n = _explode_words(texts)
+        if len(flat):
+            sh, docs = _word_shingle_hashes(md5le64(flat), dow, shingle_n)
+            if len(sh):
+                # distinct (doc, shingle) pairs: one lexsort + adjacent-dup
+                # mask (n_hits counts DISTINCT contaminated shingles)
+                order = np.lexsort((sh, docs))
+                ds_, ss_ = docs[order], sh[order]
+                keep = np.ones(len(ss_), dtype=bool)
+                keep[1:] = (ds_[1:] != ds_[:-1]) | (ss_[1:] != ss_[:-1])
+                ds_, ss_ = ds_[keep], ss_[keep]
+                if len(bh):
+                    pos = np.minimum(np.searchsorted(bh, ss_), len(bh) - 1)
+                    hit = bh[pos] == ss_
+                    hits = np.bincount(
+                        ds_[hit], minlength=nd).astype(np.int64)
+        return pa.table({
+            id_col: ids,
+            "n_hits": pa.array(hits),
+            "contaminated": pa.array(hits > 0),
+        })
+
+    return ds.map_batches(check, batch_format="pyarrow")

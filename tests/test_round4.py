@@ -251,3 +251,31 @@ def test_scrub_pii_masks_and_counts():
     assert out["n_email"].tolist() == [2, 0, 0]
     assert out["n_ip"].tolist() == [1, 0, 1]
     assert out["n_phone"].tolist() == [1, 0, 0]
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_contamination_flags_exact_shingle_overlap():
+    import ray.data as rd
+
+    from etl_ray.ops.dedup import benchmark_shingles, contamination_flags
+
+    bench = rd.from_arrow(pa.table({
+        "doc_id": pa.array([100], pa.int64()),
+        "text": pa.array(["the quick brown fox jumps"], pa.string()),
+    }))
+    corpus = rd.from_arrow(pa.table({
+        "doc_id": pa.array([1, 2, 3], pa.int64()),
+        "text": pa.array([
+            # shares the 3-gram "quick brown fox" (and one more)
+            "a quick brown fox jumps high",
+            "totally unrelated text about rayon datasets",
+            "",  # empty doc → zero shingles, never contaminated
+        ], pa.string()),
+    }))
+    bh = benchmark_shingles(bench, shingle_n=3)
+    assert len(bh) == 3  # 5 words → 3 distinct 3-gram shingles
+    out = contamination_flags(corpus, bh, shingle_n=3).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    assert out["contaminated"].tolist() == [True, False, False]
+    assert out["n_hits"].tolist()[0] == 2  # quick-brown-fox, brown-fox-jumps
+    assert out["n_hits"].tolist()[1:] == [0, 0]
