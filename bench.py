@@ -295,6 +295,14 @@ def run_bench() -> dict:
                     for q, g in pres.groupby("query_id"))
         queries["ann_ivf_part_recall_at_10"] = round(
             phits / (10 * len(exact_sets)), 3)
+        # the 16-query batch's probed-cell UNION covers most cells by
+        # design; the per-query pruning bound is the 1-query scan fraction
+        # (→ nprobe/nlist = 8/64 ± cell-size skew)
+        _res1, pstats1 = ivf_topk_partitioned(
+            ivf_root, q_ids[:1], Qi[:1], centroids=C, k=10, nprobe=8,
+            concurrency=2)
+        queries["ann_ivf_part_scan_frac_1q"] = round(
+            pstats1["bytes_read"] / pstats1["bytes_total"], 4)
         shutil.rmtree(ivf_root, ignore_errors=True)
 
     shutil.rmtree(lake, ignore_errors=True)
