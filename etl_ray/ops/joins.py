@@ -395,7 +395,10 @@ def hash_join_kw(num_partitions: Optional[int] = None,
 
     cpus = int(ray.cluster_resources().get("CPU", 0)) or 4
     if num_partitions is None:
-        num_partitions = max(2, min(16, cpus // 2))
+        # scales with the cluster (a 1024-CPU cluster gets 64 aggregators,
+        # each holding 1/64 of the build side) but still respects the
+        # half-the-cluster reservation cap below
+        num_partitions = max(2, min(64, cpus // 2))
     agg_cpu = min(0.5, max(0.05, (cpus / 2.0) / num_partitions))
     return dict(
         join_type=join_type, num_partitions=num_partitions,
