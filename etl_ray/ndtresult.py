@@ -97,9 +97,12 @@ class NDT7ResultParser:
         raw = json.loads(data.decode("utf-8"))
         n_scrubbed = scrub_ndt7(raw)
         down, up = raw.get("Download"), raw.get("Upload")
-        if down:
+        # nil-check, not truthiness: a present-but-empty {"Download": {}}
+        # still summarizes the download side (empty UUID, zero rates),
+        # matching ndt7_result.go:110-117
+        if down is not None:
             a = ndt7_summary(down, "download")
-        elif up:
+        elif up is not None:
             a = ndt7_summary(up, "upload")
         else:
             a = {"uuid": "", "test_time": None, "congestion_control": "bbr",

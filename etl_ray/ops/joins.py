@@ -399,11 +399,20 @@ def hash_join_kw(num_partitions: Optional[int] = None,
         # each holding 1/64 of the build side) but still respects the
         # half-the-cluster reservation cap below
         num_partitions = max(2, min(64, cpus // 2))
-    agg_cpu = min(0.5, max(0.05, (cpus / 2.0) / num_partitions))
+    # no per-actor floor above 0.01: a floor breaks the half-cluster cap
+    # when a caller pins num_partitions >> cpus (64 partitions on 4 CPUs
+    # at a 0.05 floor would reserve 3.2 of 4 CPUs and re-create the
+    # deadlock); at the residual 0.01 floor, also clamp a runaway
+    # caller-supplied partition count so the reservation stays <= cpus/2
+    num_partitions = max(2, min(num_partitions, int(cpus / 2.0 / 0.01)))
+    agg_cpu = min(0.5, max(0.01, (cpus / 2.0) / num_partitions))
+    # floor to 2 decimals — round() can round UP past the cap
+    # (2/127 = 0.0157 -> 0.02 would reserve 127*0.02 = 2.54 on 4 CPUs)
+    agg_cpu = max(0.01, int(agg_cpu * 100) / 100.0)
     return dict(
         join_type=join_type, num_partitions=num_partitions,
         aggregator_ray_remote_args={"memory": 256 << 20,
-                                    "num_cpus": round(agg_cpu, 2)},
+                                    "num_cpus": agg_cpu},
     )
 
 

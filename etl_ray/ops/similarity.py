@@ -279,34 +279,47 @@ def ivf_topk_partitioned(root: str, query_ids, query_matrix, *,
                          concurrency: int = 4):
     """IVF ANN over an ivf_persist lake: ONLY the probed cells' directories
     are listed and read — unprobed cells cost zero scan bytes, not just
-    zero FLOPs. Returns (topk_df, scan_stats) where scan_stats reports
-    bytes read vs total corpus bytes for the pruning audit."""
-    import os
-
+    zero FLOPs. URI-transparent: ``root`` may be a plain path or any
+    pyarrow.fs URI (file://, s3://, gs://) — at 100 TB the lake lives in
+    object storage and the pruned-read path must still run there.
+    Returns (topk_df, scan_stats) where scan_stats reports bytes read vs
+    total corpus bytes for the pruning audit."""
     import ray.data as rd
+    from pyarrow import fs as pafs
+
+    from etl_ray.util import resolve_fs
 
     cells = probed_cells(query_matrix, centroids, nprobe)
     probe_dirs = {f"cell_part={int(c)}" for c in cells}
-    read_paths, read_bytes, total_bytes = [], 0, 0
-    for entry in sorted(os.listdir(root)):
-        p = os.path.join(root, entry)
-        if not (entry.startswith("cell_part=") and os.path.isdir(p)):
+    fsys, local_root = resolve_fs(root)
+    # ONE recursive listing of the lake root (one object-store LIST call
+    # per 1000 keys, not one RPC per cell directory)
+    infos = fsys.get_file_info(pafs.FileSelector(local_root, recursive=True))
+    by_cell: dict = {}
+    for i in infos:
+        if i.type != pafs.FileType.File:
             continue
-        files = [e.path for e in os.scandir(p) if e.is_file()]
-        size = sum(os.stat(f).st_size for f in files)
+        rel = i.path[len(local_root):].lstrip("/")
+        part = rel.split("/", 1)[0]
+        if part.startswith("cell_part="):
+            by_cell.setdefault(part, []).append((i.path, i.size))
+    read_paths, read_bytes, total_bytes = [], 0, 0
+    for part in sorted(by_cell):
+        size = sum(s for _, s in by_cell[part])
         total_bytes += size
-        if entry in probe_dirs:
-            # read_parquet wants concrete file paths when given a list
-            # (directory expansion only happens for a single root).
-            read_paths.extend(sorted(files))
+        if part in probe_dirs:
+            read_paths.extend(sorted(p for p, _ in by_cell[part]))
             read_bytes += size
-    stats = {"cells_probed": len(probe_dirs & set(
-                 e for e in os.listdir(root)
-                 if e.startswith("cell_part="))),
-             "cells_total": sum(1 for e in os.listdir(root)
-                                if e.startswith("cell_part=")),
+    stats = {"cells_probed": len(probe_dirs & set(by_cell)),
+             "cells_total": len(by_cell),
              "bytes_read": read_bytes, "bytes_total": total_bytes}
-    ds = rd.read_parquet(read_paths, columns=[id_col, vec_col, "cell_id"])
+    if not read_paths:
+        # every probed centroid maps to an empty cell: nothing to scan
+        empty = _EMPTY_TOPK.to_pandas()
+        empty["rank"] = pd.Series([], dtype=np.int64)
+        return empty, stats
+    ds = rd.read_parquet(read_paths, filesystem=fsys,
+                         columns=[id_col, vec_col, "cell_id"])
     out = ivf_topk(ds, query_ids, query_matrix, k=k, nprobe=nprobe,
                    concurrency=concurrency, centroids=centroids)
     return out, stats

@@ -211,6 +211,13 @@ def grouped_quantiles(ds, *, col: str, by: str, qs: Sequence[float],
 
     def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
         codes, uniques = pd.factorize(g[by], sort=True)
+        # NULL group keys factorize to code -1, which would wrap around to
+        # uniques[-1] below — route them to a dedicated trailing code so
+        # they form their own group (SQL GROUP BY semantics: NULL is a
+        # group), emitted with a NULL key.
+        null_code = len(uniques)
+        codes = np.where(codes < 0, null_code, codes)
+        key_vals = np.append(np.asarray(uniques, dtype=object), None)
         v = g[col].to_numpy(dtype=np.float64)
         ok = ~np.isnan(v)
         ck, vk = codes[ok], v[ok]
@@ -224,14 +231,15 @@ def grouped_quantiles(ds, *, col: str, by: str, qs: Sequence[float],
         idx = st + np.minimum(n - 1, np.maximum(
             0, np.ceil(qq * n).astype(np.int64) - 1))
         out = pd.DataFrame({
-            by: np.asarray(uniques)[np.repeat(ucodes, nq)],
+            by: key_vals[np.repeat(ucodes, nq)],
             "q": qq, "value": vk[idx],
         })
         # keys present only with NULL values: percentile_disc emits NULL
-        allnull = np.setdiff1d(np.arange(len(uniques)), ucodes)
+        n_codes = null_code + 1 if (codes == null_code).any() else null_code
+        allnull = np.setdiff1d(np.arange(n_codes), ucodes)
         if len(allnull):
             out = pd.concat([out, pd.DataFrame({
-                by: np.asarray(uniques)[np.repeat(allnull, nq)],
+                by: key_vals[np.repeat(allnull, nq)],
                 "q": np.tile(qa, len(allnull)),
                 "value": np.nan,
             })], ignore_index=True)

@@ -112,6 +112,41 @@ def test_grouped_quantiles_disc_semantics():
                    ("b", 0.5): 50.0, ("b", 0.95): 100.0}
 
 
+@pytest.mark.usefixtures("ray_session")
+def test_grouped_quantiles_null_group_key_is_its_own_group():
+    # regression: factorize code -1 used to wrap into uniques[-1], leaking
+    # the NULL-key rows' quantiles into the LAST real group
+    from etl_ray.ops.stats import grouped_quantiles
+
+    df = pd.DataFrame({"g": ["a", None, "b", None, "b"],
+                       "v": [1.0, 100.0, 2.0, 200.0, 4.0]})
+    out = grouped_quantiles(_ds_from(df), col="v", by="g",
+                            qs=[0.5]).to_pandas()
+    real = out[out["g"].notna()]
+    got = {(r.g, r.q): r.value for r in real.itertuples()}
+    assert got[("a", 0.5)] == 1.0
+    assert got[("b", 0.5)] == 2.0  # must NOT absorb the null-key rows
+    nullrow = out[out["g"].isna()]
+    assert len(nullrow) == 1 and nullrow["value"].iloc[0] == 100.0
+    assert len(out) == 3
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_hash_join_kw_reservation_never_exceeds_half_cluster():
+    # a caller-pinned high partition count on a small cluster must not
+    # reserve more than cpus/2 for the parked aggregator actors
+    import ray
+
+    from etl_ray.ops.joins import hash_join_kw
+
+    cpus = int(ray.cluster_resources().get("CPU", 0)) or 4
+    for np_req in (None, 8, 64, 10_000):
+        kw = hash_join_kw(np_req)
+        total = (kw["num_partitions"]
+                 * kw["aggregator_ray_remote_args"]["num_cpus"])
+        assert total <= cpus / 2.0 + 1e-9, (np_req, kw)
+
+
 # ------------------------------------------------------------------ rollup
 @pytest.mark.usefixtures("ray_session")
 def test_rollup_levels_consistent():

@@ -92,3 +92,56 @@ def test_ivf_topk_matches_bruteforce_in_probed_cells():
     C = ivf_centroids(dim, 8)
     assign = np.argmax(_normalize(M) @ C.T, axis=1)
     assert len(set(assign)) > 2  # cells genuinely partition the corpus
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_ivf_partitioned_lake_uri_transparent(tmp_path):
+    # the pruned-read path must work with the lake root given as a
+    # pyarrow.fs URI (at 100 TB the lake lives in object storage), and
+    # must return an empty frame — not raise — when every probed
+    # centroid maps to an empty cell
+    import ray.data as rd
+
+    from etl_ray.ops.similarity import (
+        ivf_build,
+        ivf_persist,
+        ivf_topk_partitioned,
+        probed_cells,
+    )
+
+    rng = np.random.default_rng(7)
+    n, dim = 200, 32
+    M = rng.standard_normal((n, dim))
+    df = pd.DataFrame({"vec_id": np.arange(n, dtype=np.int64),
+                       "embedding": [list(map(float, r)) for r in M]})
+    indexed, C = ivf_build(rd.from_pandas(df), dim=dim, nlist=8,
+                           concurrency=2)
+    root = str(tmp_path / "ivf_lake")
+    ivf_persist(indexed, root)
+
+    Q = M[:3] + 0.01 * rng.standard_normal((3, dim))
+    plain, st_plain = ivf_topk_partitioned(
+        root, np.arange(3), Q, centroids=C, k=5, nprobe=3, concurrency=2)
+    via_uri, st_uri = ivf_topk_partitioned(
+        "file://" + root, np.arange(3), Q, centroids=C, k=5, nprobe=3,
+        concurrency=2)
+    pd.testing.assert_frame_equal(plain.reset_index(drop=True),
+                                  via_uri.reset_index(drop=True))
+    assert st_uri == st_plain
+    assert 0 < st_uri["bytes_read"] < st_uri["bytes_total"]
+
+    # empty-cell probe: fabricate queries whose probed cells are all
+    # cells that hold no vectors (if every cell is occupied, drop the
+    # occupied cells' files by probing a lake with only one cell kept)
+    occupied = {int(p.name.split("=")[1])
+                for p in (tmp_path / "ivf_lake").iterdir()}
+    empty_cells = [c for c in range(8) if c not in occupied]
+    if empty_cells:
+        # a query pointing exactly AT an empty cell's centroid probes it
+        Qe = C[empty_cells[:1]]
+        got = probed_cells(Qe, C, 1)
+        assert int(got[0]) == empty_cells[0]
+        out, st = ivf_topk_partitioned(root, [0], Qe, centroids=C,
+                                       k=5, nprobe=1, concurrency=2)
+        assert len(out) == 0
+        assert st["bytes_read"] == 0
