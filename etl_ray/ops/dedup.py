@@ -600,22 +600,28 @@ def benchmark_shingles(bench_ds, *, shingle_n: int = 3,
     groupby, so only distinct hashes ever shuffle."""
     from ray.data.aggregate import Count
 
+    # the exchange carries the hashes as int64 BIT PATTERNS: a uint64
+    # column with values above 2^63 trips Ray's groupby reduce into an
+    # OverflowError -> arrow_pickled_object fallback (pickled Python
+    # objects through the shuffle); the int64 view is lossless and keeps
+    # the exchange a plain fixed-width Arrow column (same trick as
+    # MinHasher's signature columns)
     def per_batch(t: pa.Table) -> pa.Table:
         if len(t) == 0 or text_col not in t.column_names:
-            return pa.table({"h": pa.array([], pa.uint64())})
+            return pa.table({"h": pa.array([], pa.int64())})
         texts = normalize_for_fingerprint(t[text_col].to_pandas())
         flat, dow, _n = _explode_words(texts)
         if len(flat) == 0:
-            return pa.table({"h": pa.array([], pa.uint64())})
+            return pa.table({"h": pa.array([], pa.int64())})
         sh, _docs = _word_shingle_hashes(md5le64(flat), dow, shingle_n)
-        return pa.table({"h": pa.array(np.unique(sh))})
+        return pa.table({"h": pa.array(np.unique(sh).view(np.int64))})
 
     distinct = (
         bench_ds.map_batches(per_batch, batch_format="pyarrow")
         .groupby("h").aggregate(Count(alias_name="_n"))
         .select_columns(["h"]).to_pandas()
     )
-    return np.sort(distinct["h"].to_numpy().astype(np.uint64))
+    return np.sort(distinct["h"].to_numpy(np.int64).view(np.uint64))
 
 
 def contamination_flags(ds, bench_hashes: np.ndarray, *,

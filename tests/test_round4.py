@@ -279,3 +279,36 @@ def test_contamination_flags_exact_shingle_overlap():
     assert out["contaminated"].tolist() == [True, False, False]
     assert out["n_hits"].tolist()[0] == 2  # quick-brown-fox, brown-fox-jumps
     assert out["n_hits"].tolist()[1:] == [0, 0]
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_benchmark_shingles_shuffle_stays_fixed_width_arrow():
+    # regression: shuffling raw uint64 hashes (values > 2^63) tripped
+    # Ray's groupby reduce into an OverflowError -> pickled-object
+    # extension-array fallback. The exchange must carry a plain int64
+    # column and the round-trip must preserve every hash bit pattern.
+    import ray.data as rd
+    from ray.data.aggregate import Count
+
+    from etl_ray.ops.dedup import benchmark_shingles
+
+    texts = [" ".join(f"w{i + j}" for j in range(6)) for i in range(50)]
+    bench = rd.from_arrow(pa.table({
+        "doc_id": pa.array(range(50), pa.int64()),
+        "text": pa.array(texts, pa.string()),
+    })).repartition(4)
+    bh = benchmark_shingles(bench, shingle_n=3)
+    assert bh.dtype == np.uint64
+    assert (bh > np.uint64(1) << np.uint64(63)).any()  # high bit exercised
+    assert (np.sort(bh) == bh).all() and len(np.unique(bh)) == len(bh)
+
+    # the exchanged column is a plain Arrow integer, not an extension type
+    shuffled = (
+        bench.map_batches(
+            lambda t: pa.table({"h": pa.array(
+                np.arange(len(t), dtype=np.uint64).view(np.int64))}),
+            batch_format="pyarrow")
+        .groupby("h").aggregate(Count(alias_name="_n"))
+    )
+    sch = shuffled.schema().base_schema
+    assert pa.types.is_integer(sch.field("h").type), sch
