@@ -63,20 +63,41 @@ _EMPTY_TOPK = pa.schema([
 
 
 class CosineTopK:
-    """Actor-pool stage: the normalized query matrix is fetched from the
-    object store once per actor in __init__ (broadcast join pattern)."""
+    """Scoring stage against a broadcast query matrix. LAZY state: __init__
+    stores only the ``ray.put`` ref, the matrix is fetched (zero-copy from
+    the local object store) on first __call__ in the executing process.
+    That makes the same class work both ways: as a constructed INSTANCE it
+    pickles small and runs as a task pool on Ray's already-warm workers
+    (no actor-spawn cliff — measured ~1 s/actor, i.e. ~15 s of dead wall
+    for a 30-wide pool on a 2 s job); passed as a CLASS with concurrency=
+    it is an actor pool that pays the fetch once per actor (the right
+    trade when the query matrix is large)."""
 
     def __init__(self, queries_ref, k: int, id_col: str, vec_col: str):
-        import ray
-
-        q = ray.get(queries_ref)
-        self.query_ids = q["ids"]
-        self.Q = _normalize(np.asarray(q["matrix"], dtype=np.float64))
+        self._ref = queries_ref
         self.k = k
         self.id_col = id_col
         self.vec_col = vec_col
+        self.query_ids = None
+        self.Q = None
+
+    def _setup(self):
+        import ray
+
+        q = ray.get(self._ref)
+        self.query_ids = q["ids"]
+        self.Q = _normalize(np.asarray(q["matrix"], dtype=np.float64))
+
+    def __getstate__(self):
+        # never ship materialized state through task specs — only the ref
+        d = dict(self.__dict__)
+        d["query_ids"] = None
+        d["Q"] = None
+        return d
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        if self.Q is None:
+            self._setup()
         if len(batch) == 0:
             return _EMPTY_TOPK
         X = _normalize(_matrix(batch[self.vec_col]))
@@ -98,19 +119,32 @@ class CosineTopK:
 
 def cosine_topk(ds, query_ids, query_matrix, *, k: int = 10,
                 id_col: str = "vec_id", vec_col: str = "embedding",
-                concurrency: int = 4) -> pd.DataFrame:
+                concurrency: int = 4,
+                use_actor_pool: bool = False) -> pd.DataFrame:
     """Exact brute-force cosine top-k: per-batch partial top-k (distributed)
-    → tiny driver-side reduce over ≤ k·num_batches candidate rows."""
+    → tiny driver-side reduce over ≤ k·num_batches candidate rows. Default
+    is a task pool (the stage state is just the broadcast ref — warm
+    workers, no actor spawn); ``use_actor_pool=True`` pays the spawn to
+    fetch a LARGE query matrix once per actor instead of once per task."""
     import ray
 
     ref = ray.put({"ids": np.asarray(query_ids), "matrix": query_matrix})
-    partials = ds.map_batches(
-        CosineTopK,
-        fn_constructor_args=(ref, k, id_col, vec_col),
-        batch_format="pyarrow",
-        concurrency=concurrency,
-        num_cpus=1,
-    ).to_pandas()
+    if use_actor_pool:
+        scored = ds.map_batches(
+            CosineTopK,
+            fn_constructor_args=(ref, k, id_col, vec_col),
+            batch_format="pyarrow",
+            concurrency=concurrency,
+            num_cpus=1,
+        )
+    else:
+        scored = ds.map_batches(
+            CosineTopK(ref, k, id_col, vec_col),
+            batch_format="pyarrow",
+            concurrency=concurrency,
+            num_cpus=1,
+        )
+    partials = scored.to_pandas()
     out = (
         partials.sort_values(["query_id", "score", "vec_id"],
                              ascending=[True, False, True])
@@ -144,25 +178,41 @@ class IVFTopK:
 
     def __init__(self, payload_ref, k: int, nprobe: int, id_col: str,
                  vec_col: str):
+        self._ref = payload_ref
+        self._nprobe = nprobe
+        self.k = k
+        self.id_col = id_col
+        self.vec_col = vec_col
+        self.Q = None
+        self.query_ids = None
+        self.C = None
+        self.cell_queries = None
+
+    def _setup(self):
         import ray
 
-        p = ray.get(payload_ref)
+        p = ray.get(self._ref)
         self.query_ids = p["ids"]
         self.Q = _normalize(np.asarray(p["matrix"], dtype=np.float64))
         self.C = np.asarray(p["centroids"], dtype=np.float64)
         # top-nprobe cells per query (nq, nprobe) → inverted: per cell, the
-        # query indices probing it (built once per actor)
+        # query indices probing it (built once per actor / per task — the
+        # rebuild is O(nq·nlist), trivial next to one batch matmul)
         qc = self.Q @ self.C.T
-        probe = np.argsort(-qc, axis=1, kind="stable")[:, :nprobe]
+        probe = np.argsort(-qc, axis=1, kind="stable")[:, :self._nprobe]
         nlist = self.C.shape[0]
         self.cell_queries = [
             np.flatnonzero((probe == c).any(axis=1)) for c in range(nlist)
         ]
-        self.k = k
-        self.id_col = id_col
-        self.vec_col = vec_col
+
+    def __getstate__(self):
+        d = dict(self.__dict__)
+        d["Q"] = d["query_ids"] = d["C"] = d["cell_queries"] = None
+        return d
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        if self.Q is None:
+            self._setup()
         if len(batch) == 0:
             return _EMPTY_TOPK
         X = _normalize(_matrix(batch[self.vec_col]))
@@ -215,12 +265,20 @@ class CellAssigner:
     doubles as the partition key so a query only READS probed cells."""
 
     def __init__(self, centroids_ref, vec_col: str = "embedding"):
-        import ray
-
-        self.C = np.asarray(ray.get(centroids_ref), dtype=np.float64)
+        self._ref = centroids_ref
         self.vec_col = vec_col
+        self.C = None
+
+    def __getstate__(self):
+        d = dict(self.__dict__)
+        d["C"] = None
+        return d
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        if self.C is None:
+            import ray
+
+            self.C = np.asarray(ray.get(self._ref), dtype=np.float64)
         if len(batch) == 0:
             return batch.append_column("cell_id", pa.array([], pa.int64()))
         X = _normalize(_matrix(batch[self.vec_col]))
@@ -238,9 +296,10 @@ def ivf_build(ds, *, dim: int, nlist: int = 64, seed: int = 11,
 
     C = ivf_centroids(dim, nlist, seed)
     ref = ray.put(C)
+    # constructed instance → TASK pool on warm workers (state is one lazy
+    # object-store fetch), not an actor pool paying ~1 s spawn per worker
     indexed = ds.map_batches(
-        CellAssigner,
-        fn_constructor_args=(ref, vec_col),
+        CellAssigner(ref, vec_col),
         batch_format="pyarrow",
         concurrency=concurrency,
         num_cpus=1,
@@ -341,8 +400,7 @@ def ivf_topk(ds, query_ids, query_matrix, *, k: int = 10, nlist: int = 8,
     ref = ray.put({"ids": np.asarray(query_ids), "matrix": Q,
                    "centroids": C})
     partials = ds.map_batches(
-        IVFTopK,
-        fn_constructor_args=(ref, k, nprobe, id_col, vec_col),
+        IVFTopK(ref, k, nprobe, id_col, vec_col),
         batch_format="pyarrow",
         concurrency=concurrency,
         num_cpus=1,
@@ -363,16 +421,25 @@ class NearDupPairs:
     pair once (id_a < id_b)."""
 
     def __init__(self, index_ref, threshold: float, id_col: str, vec_col: str):
-        import ray
-
-        idx = ray.get(index_ref)
-        self.index_ids = np.asarray(idx["ids"])
-        self.M = _normalize(np.asarray(idx["matrix"], dtype=np.float64))
+        self._ref = index_ref
         self.threshold = threshold
         self.id_col = id_col
         self.vec_col = vec_col
+        self.index_ids = None
+        self.M = None
+
+    def __getstate__(self):
+        d = dict(self.__dict__)
+        d["index_ids"] = d["M"] = None
+        return d
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        if self.M is None:
+            import ray
+
+            idx = ray.get(self._ref)
+            self.index_ids = np.asarray(idx["ids"])
+            self.M = _normalize(np.asarray(idx["matrix"], dtype=np.float64))
         X = _normalize(_matrix(batch[self.vec_col]))
         ids = batch[self.id_col].to_numpy(zero_copy_only=False)
         scores = X @ self.M.T
@@ -396,8 +463,7 @@ def embedding_near_dups(ds, index_ids, index_matrix, *, threshold: float = 0.95,
 
     ref = ray.put({"ids": np.asarray(index_ids), "matrix": index_matrix})
     return ds.map_batches(
-        NearDupPairs,
-        fn_constructor_args=(ref, threshold, id_col, vec_col),
+        NearDupPairs(ref, threshold, id_col, vec_col),
         batch_format="pyarrow",
         concurrency=concurrency,
         num_cpus=1,
