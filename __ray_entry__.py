@@ -2003,10 +2003,13 @@ def _q_cdc_lake_diff(sf_dir: str):
     commit, then diff version 1 (state after the first segment) against the
     final version — per-partition, zero-shuffle (ops/cdc_diff.py)."""
     from etl_ray.ops.cdc_diff import lake_diff
+    from etl_ray.util import to_pandas_keep_schema
 
     _, lake, _ = _replay_events(sf_dir, tag="lakediff",
                                 segments_per_commit=1)
-    d = lake_diff(lake, from_version=1).to_pandas()
+    # at tiny scale the changelog may fit one commit → head == v1 and the
+    # diff is EMPTY; keep the schema through the empty-block path
+    d = to_pandas_keep_schema(lake_diff(lake, from_version=1))
     d = d.rename(columns={"sequence_number": "last_seq"})
     return (
         d[["doc_id", "change_op", "last_seq", "value", "event_type"]]
@@ -3162,7 +3165,8 @@ SELECT COALESCE(s2.doc_id, s1.doc_id) AS doc_id,
        CASE WHEN s1.doc_id IS NULL THEN 'insert'
             WHEN s2.doc_id IS NULL THEN 'delete'
             ELSE 'update' END AS change_op,
-       s2.seq AS last_seq, s2.value, s2.event_type
+       CAST(s2.seq AS DOUBLE) AS last_seq, CAST(s2.value AS DOUBLE) AS value,
+       s2.event_type
 FROM s1 FULL JOIN s2 ON s1.doc_id = s2.doc_id
 WHERE s1.doc_id IS NULL OR s2.doc_id IS NULL OR s1.seq <> s2.seq
 ORDER BY doc_id

@@ -73,3 +73,22 @@ def read_parquet_any(paths, **kwargs):
     f, first = resolve_fs(paths[0])
     locals_ = [resolve_fs(p)[1] if "://" in p else p for p in paths]
     return rd.read_parquet(locals_, filesystem=f, **kwargs)
+
+
+def to_pandas_keep_schema(ds):
+    """``Dataset.to_pandas()`` that preserves COLUMN NAMES when every block
+    is empty. Ray's streaming executor drops empty blocks, so an all-empty
+    result loses its schema through ``to_pandas()`` (observed on 2.49:
+    zero columns); ``ds.schema()`` still knows it — rebuild the empty
+    frame from that."""
+    df = ds.to_pandas()
+    if len(df) == 0 and len(df.columns) == 0:
+        schema = ds.schema()
+        if schema is not None:
+            import pyarrow as pa
+
+            empty = pa.schema(
+                [pa.field(n, t) for n, t in
+                 zip(schema.names, schema.types)]).empty_table()
+            return empty.to_pandas()
+    return df
