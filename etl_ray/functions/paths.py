@@ -75,3 +75,27 @@ def create_test_id(date: str, host: str, basename: str) -> str:
     y, m, d = date.split("-")
     base = basename if basename.endswith(".gz") else basename + ".gz"
     return f"{y}/{m}/{d}/{host}/{base}"
+
+
+def get_filename(filename: str) -> str:
+    """Queue-message → archive URI (reference etl/globals.go:377-394).
+
+    Task-queue front-ends may base64-encode the payload: accept a plain
+    URI (any pyarrow.fs scheme, or an absolute local path — the engine is
+    URI-transparent where the reference is gs://-only), else try base64
+    and require the decoded text to be a URI/path. Raises ValueError on
+    anything else, mirroring the reference's error-and-don't-retry."""
+    import base64
+
+    def is_uri(s: str) -> bool:
+        return "://" in s or s.startswith("/")
+
+    if is_uri(filename):
+        return filename
+    try:
+        decoded = base64.b64decode(filename, validate=True).decode()
+    except Exception:
+        raise ValueError(f"invalid file path: {filename}")
+    if is_uri(decoded):
+        return decoded
+    raise ValueError(f"invalid base64 encoded file path: {decoded}")

@@ -75,6 +75,9 @@ class WorkerService:
                         self._reply(404, {"error": "unknown path"})
                 except KeyError as e:
                     self._reply(400, {"error": f"missing param {e}"})
+                except ValueError as e:
+                    # invalid filename/params: reject, don't retry
+                    self._reply(400, {"error": str(e)})
                 except Exception as e:  # one bad task must not kill the pod
                     self._reply(500, {"error": str(e)})
 
@@ -84,9 +87,13 @@ class WorkerService:
     # ------------------------------------------------------------ handlers
     def process_archive(self, archive: str) -> dict:
         """One-shot archive parse (the /v2/worker contract): counts parsed
-        vs errored members, like the reference's per-task metrics."""
+        vs errored members, like the reference's per-task metrics. The
+        ``archive`` param may be base64-encoded by a task-queue front-end
+        (reference etl/globals.go:377-394)."""
+        from etl_ray.functions.paths import get_filename
         from etl_ray.parsers import parse_archives
 
+        archive = get_filename(archive)
         with self._lock:
             parsed = parse_archives([archive]).to_pandas()
         err = parsed["error"].notna()

@@ -23,11 +23,97 @@ import io
 import os
 import re
 import tarfile
-from typing import List, Optional
+import time
+from typing import Callable, List, Optional
 
 import pyarrow as pa
 
 from etl_ray.util import descriptor_dataset
+
+# member-stream retry knobs (reference storage/storage.go:163-210: GCS
+# stalls mid-stream ~hourly at fleet scale; retry the MEMBER read with
+# exponential backoff, never re-run the whole archive task)
+RETRY_BASE_DELAY = 0.016  # 16 ms, doubled per trial
+RETRY_MAX_TRIALS = 10
+
+
+class RetryingStream(io.RawIOBase):
+    """Seekable byte stream over a REOPENABLE source that heals transient
+    read errors: on failure it sleeps 16 ms·2ⁿ (≤10 trials, reference
+    storage/storage.go:163-210), reopens the source, seeks back to the
+    last good offset and resumes. Sits BELOW the tar/gzip layers, so a
+    mid-member stream error recovers at the byte level and the tar
+    iteration continues — a flaky read of one member inside a 200 MB
+    archive no longer re-runs the whole archive task (Ray's task retry
+    remains the backstop for non-transient failures)."""
+
+    def __init__(self, open_fn: Callable, *, max_trials: int = RETRY_MAX_TRIALS,
+                 base_delay: float = RETRY_BASE_DELAY, sleep=time.sleep):
+        super().__init__()
+        self._open_fn = open_fn
+        self._fh = open_fn()
+        self._pos = 0
+        self._max_trials = max_trials
+        self._base_delay = base_delay
+        self._sleep = sleep
+        self.retries = 0  # metrics analog of the reference GCSRetryCount
+
+    def readable(self) -> bool:
+        return True
+
+    def seekable(self) -> bool:
+        return True
+
+    def _reopen(self) -> None:
+        try:
+            self._fh.close()
+        except Exception:
+            pass
+        self._fh = self._open_fn()
+        if self._pos:
+            self._fh.seek(self._pos)
+
+    def read(self, size: int = -1) -> bytes:
+        delay = self._base_delay
+        for trial in range(1, self._max_trials + 1):
+            try:
+                data = self._fh.read(size)
+                self._pos += len(data)
+                return data
+            except (OSError, pa.ArrowInvalid):
+                if trial >= self._max_trials:
+                    raise
+                self.retries += 1
+                self._sleep(delay)
+                delay *= 2
+                self._reopen()
+        raise OSError("unreachable")  # pragma: no cover
+
+    def readinto(self, b) -> int:
+        # BufferedReader drives RawIOBase through readinto
+        data = self.read(len(b))
+        b[: len(data)] = data
+        return len(data)
+
+    def seek(self, offset: int, whence: int = io.SEEK_SET) -> int:
+        if whence == io.SEEK_CUR:
+            offset += self._pos
+        elif whence == io.SEEK_END:
+            self._fh.seek(0, io.SEEK_END)
+            end = self._fh.tell()
+            offset += end
+        self._fh.seek(offset)
+        self._pos = offset
+        return self._pos
+
+    def tell(self) -> int:
+        return self._pos
+
+    def close(self) -> None:
+        try:
+            self._fh.close()
+        finally:
+            super().close()
 
 MEMBER_SCHEMA = pa.schema(
     [
@@ -93,15 +179,17 @@ class ArchiveReader:
         mode = "r:gz" if path.endswith((".tgz", ".tar.gz")) else "r"
         if "://" in path:
             # URI archive: stream through pyarrow.fs inside the task (the
-            # worker, not the driver, touches object storage)
+            # worker, not the driver, touches object storage). open_input_file
+            # is a random-access reader, so RetryingStream can reopen + seek
+            # past a mid-stream stall instead of re-reading the archive.
             from etl_ray.util import resolve_fs
 
             f, lp = resolve_fs(path)
-            with f.open_input_stream(lp) as fh:
-                buf = io.BytesIO(fh.read())
-            cm = tarfile.open(fileobj=buf, mode=mode)
+            open_fn = lambda: f.open_input_file(lp)  # noqa: E731
         else:
-            cm = tarfile.open(path, mode)
+            open_fn = lambda: open(path, "rb")  # noqa: E731
+        raw = RetryingStream(open_fn)
+        cm = tarfile.open(fileobj=io.BufferedReader(raw, 1 << 20), mode=mode)
         with cm as tf:
             for member in tf:
                 if not member.isfile():
