@@ -2386,11 +2386,11 @@ def _q_ndt_group_deltas(sf_dir: str):
 
 def _q_multimodal_real(sf_dir: str):
     """REAL image decode, no codec library: synthesize a deterministic
-    PPM (P6) / PGM (P5) / 24-bit BMP payload per document INSIDE
-    map_batches (distributed synth), decode with the pure-numpy
-    RealImageDecoder actor pool, verify dims + exact pixel mean against
-    SQL. doc_id % 17 == 0 payloads are corrupt (JPEG magic) and must
-    surface as decoded_ok = FALSE with zeroed dims — the quarantine
+    PPM (P6) / PGM (P5) / 24-bit BMP / PNG (zlib, filters 0-4) payload per
+    document INSIDE map_batches (distributed synth), decode with the
+    pure-numpy RealImageDecoder pool, verify dims + exact pixel mean
+    against SQL. doc_id % 17 == 0 payloads are corrupt (JPEG magic) and
+    must surface as decoded_ok = FALSE with zeroed dims — the quarantine
     contract."""
     import ray.data as rd
 
@@ -2430,6 +2430,12 @@ def _q_multimodal_real(sf_dir: str):
             c = 3 if d % 2 == 0 else 1
             px = np.full(w * h * c, b, np.uint8)
             px[0] = a
+            if d % 5 == 0:  # PNG (stdlib-zlib decode path), filters 0-4
+                from etl_ray.ops.multimodal import encode_png
+
+                payloads.append(encode_png(
+                    px.reshape(h, w, c), filter_type=(d // 5) % 5))
+                continue
             magic = b"P6" if c == 3 else b"P5"
             payloads.append(magic + b"\n# synth\n"
                             + f"{w} {h}\n255\n".encode() + px.tobytes())

@@ -1,12 +1,12 @@
 """Multimodal (binary-payload) plumbing: opaque ``binary`` columns with typed
 metadata, decoded / feature-extracted by actor-pool map_batches stages.
 
-The image/audio codec libraries are not available in this container, so the
-actual decode is STUBBED: ``RealImageDecoder.decode`` raises
-NotImplementedError, and the tested path uses ``FakeImageDecoder`` — a
-deterministic stand-in that exercises the REAL Ray-side plumbing (binary
-schema in/out, batch sizing for large payloads, actor init cost amortized,
-output layout). Swap the decoder class to go live.
+``RealImageDecoder`` performs a REAL decode with no codec library: PPM (P6),
+PGM (P5), uncompressed 24-bit BMP, and PNG (8-bit, critical chunks, filters
+0-4, via stdlib zlib) — all pure numpy. Formats the container can't decode
+(JPEG etc.) raise into the standard ``decode_error`` quarantine path; a
+library decoder (Pillow/torchvision) slots into ``decode_images(decoder=…)``
+unchanged. ``FakeImageDecoder`` remains as the zero-cost plumbing exerciser.
 
 Batch-size guidance: payload bytes dominate; with B-byte payloads pick
 ``batch_size ≈ 64 MiB / B`` so batch × concurrency fits the worker heap.
@@ -15,6 +15,7 @@ Batch-size guidance: payload bytes dominate; with B-byte payloads pick
 from __future__ import annotations
 
 import hashlib
+import zlib
 
 import numpy as np
 import pyarrow as pa
@@ -67,14 +68,176 @@ def _ppm_header(b: bytes):
     return tokens[0], tokens[1], (3 if b[:2] == b"P6" else 1), pos + 1
 
 
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+# color type → samples per pixel (PNG spec §11.2.2)
+_PNG_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
+
+
+def _paeth(left, up, ul):
+    """Paeth predictor (PNG spec §9.4), vectorized over the channel lanes
+    of one pixel. Inputs/outputs int16."""
+    p = left + up - ul
+    pa_, pb, pc_ = np.abs(p - left), np.abs(p - up), np.abs(p - ul)
+    pred = np.where((pa_ <= pb) & (pa_ <= pc_), left,
+                    np.where(pb <= pc_, up, ul))
+    return pred
+
+
+def _png_unfilter(raw: np.ndarray, h: int, w: int, ch: int) -> np.ndarray:
+    """Reverse per-scanline filtering (types 0-4). Sub is a per-lane
+    cumsum; Up is one vector add; Average/Paeth carry a left-neighbor
+    dependency, so those rows walk pixels with small per-channel vector
+    ops (decode stage, not the 100 TB hot path — a C codec replaces this
+    whole module in production)."""
+    stride = w * ch
+    lines = raw.reshape(h, 1 + stride)
+    ftypes = lines[:, 0]
+    out = np.zeros((h, stride), np.int16)
+    prev = np.zeros(stride, np.int16)
+    for y in range(h):
+        f = int(ftypes[y])
+        r = lines[y, 1:].astype(np.int16)
+        if f == 0:
+            cur = r
+        elif f == 1:  # Sub: out[x] = raw[x] + out[x-bpp] → cumsum mod 256
+            cur = np.cumsum(r.reshape(w, ch), axis=0, dtype=np.int64) % 256
+            cur = cur.reshape(stride).astype(np.int16)
+        elif f == 2:  # Up
+            cur = (r + prev) % 256
+        elif f == 3:  # Average
+            cur = np.empty(stride, np.int16)
+            rp = r.reshape(w, ch)
+            pp = prev.reshape(w, ch)
+            left = np.zeros(ch, np.int16)
+            cp = cur.reshape(w, ch)
+            for x in range(w):
+                left = (rp[x] + ((left + pp[x]) >> 1)) % 256
+                cp[x] = left
+        elif f == 4:  # Paeth
+            cur = np.empty(stride, np.int16)
+            rp = r.reshape(w, ch)
+            pp = prev.reshape(w, ch)
+            left = np.zeros(ch, np.int16)
+            ul = np.zeros(ch, np.int16)
+            cp = cur.reshape(w, ch)
+            for x in range(w):
+                left = (rp[x] + _paeth(left, pp[x], ul)) % 256
+                cp[x] = left
+                ul = pp[x]
+        else:
+            raise ValueError(f"PNG filter type {f} invalid")
+        out[y] = cur
+        prev = out[y]
+    return out.astype(np.uint8)
+
+
+def _png_decode(b: bytes) -> np.ndarray:
+    """PNG → (H, W, C) uint8: critical chunks (IHDR/PLTE/IDAT/IEND), bit
+    depth 8, color types 0/2/3/4/6, no interlace, filters 0-4, inflate via
+    stdlib zlib. Ancillary chunks are skipped; CRCs are not verified (a
+    truncated/garbled stream still fails loudly at inflate or size
+    checks)."""
+    if b[:8] != _PNG_SIG:
+        raise ValueError("bad PNG signature")
+    pos, ihdr, plte, idat = 8, None, None, []
+    while pos + 8 <= len(b):
+        ln = int.from_bytes(b[pos:pos + 4], "big")
+        typ = bytes(b[pos + 4:pos + 8])
+        data = b[pos + 8:pos + 8 + ln]
+        pos += 12 + ln  # length + type + data + CRC
+        if typ == b"IHDR":
+            ihdr = data
+        elif typ == b"PLTE":
+            plte = data
+        elif typ == b"IDAT":
+            idat.append(data)
+        elif typ == b"IEND":
+            break
+    if ihdr is None or len(ihdr) < 13 or not idat:
+        raise ValueError("PNG missing IHDR/IDAT")
+    w = int.from_bytes(ihdr[0:4], "big")
+    h = int.from_bytes(ihdr[4:8], "big")
+    depth, ctype, comp, filt, interlace = ihdr[8:13]
+    if depth != 8 or comp != 0 or filt != 0 or interlace != 0:
+        raise ValueError(
+            f"PNG depth={depth}/interlace={interlace} unsupported")
+    ch = _PNG_CHANNELS.get(ctype)
+    if ch is None:
+        raise ValueError(f"PNG color type {ctype} invalid")
+    try:
+        raw = zlib.decompress(b"".join(idat))
+    except zlib.error as ex:
+        raise ValueError(f"PNG inflate failed: {ex}")
+    stride = w * ch
+    if len(raw) != h * (1 + stride):
+        raise ValueError("PNG data size mismatch")
+    img = _png_unfilter(np.frombuffer(raw, np.uint8), h, w, ch)
+    if ctype == 3:
+        if plte is None:
+            raise ValueError("PNG palette image missing PLTE")
+        pal = np.frombuffer(plte, np.uint8).reshape(-1, 3)
+        return pal[img.reshape(h, w)]
+    return img.reshape(h, w, ch)
+
+
+def encode_png(img: np.ndarray, *, filter_type: int = 0,
+               level: int = 6) -> bytes:
+    """Minimal PNG writer (8-bit gray/gray+alpha/RGB/RGBA, one filter for
+    all scanlines) — the write-path counterpart of ``_png_decode`` and the
+    fixture generator for its tests. Filtering in the ENCODER is fully
+    vectorized (it sees original values, no sequential dependency)."""
+    img = np.ascontiguousarray(img, dtype=np.uint8)
+    if img.ndim == 2:
+        img = img[:, :, None]
+    h, w, ch = img.shape
+    ctype = {1: 0, 2: 4, 3: 2, 4: 6}[ch]
+    rows = img.reshape(h, w * ch).astype(np.int16)
+    prev = np.vstack([np.zeros((1, w * ch), np.int16), rows[:-1]])
+    if filter_type == 0:
+        filt = rows
+    elif filter_type == 1:
+        left = np.zeros_like(rows)
+        left[:, ch:] = rows[:, :-ch]
+        filt = rows - left
+    elif filter_type == 2:
+        filt = rows - prev
+    elif filter_type == 3:
+        left = np.zeros_like(rows)
+        left[:, ch:] = rows[:, :-ch]
+        filt = rows - ((left + prev) >> 1)
+    elif filter_type == 4:
+        left = np.zeros_like(rows)
+        left[:, ch:] = rows[:, :-ch]
+        ul = np.zeros_like(rows)
+        ul[:, ch:] = prev[:, :-ch]
+        filt = rows - _paeth(left, prev, ul)
+    else:
+        raise ValueError(f"filter_type {filter_type} invalid")
+    scan = np.hstack([np.full((h, 1), filter_type, np.uint8),
+                      (filt % 256).astype(np.uint8)])
+    ihdr = (w.to_bytes(4, "big") + h.to_bytes(4, "big")
+            + bytes([8, ctype, 0, 0, 0]))
+    idat = zlib.compress(scan.tobytes(), level)
+
+    def chunk(typ: bytes, data: bytes) -> bytes:
+        crc = zlib.crc32(typ + data) & 0xFFFFFFFF
+        return (len(data).to_bytes(4, "big") + typ + data
+                + crc.to_bytes(4, "big"))
+
+    return (_PNG_SIG + chunk(b"IHDR", ihdr) + chunk(b"IDAT", idat)
+            + chunk(b"IEND", b""))
+
+
 def decode_image(b: bytes):
-    """Pure-numpy decode of PPM (P6), PGM (P5) and uncompressed 24-bit BMP
-    payloads → (H, W, C) uint8 array. Raises ValueError on any other
-    codec — route those rows to quarantine, or plug a library decoder in
-    via ``decode_images(decoder=...)``."""
+    """Pure-numpy decode of PPM (P6), PGM (P5), uncompressed 24-bit BMP and
+    PNG (8-bit, stdlib zlib) payloads → (H, W, C) uint8 array. Raises
+    ValueError on any other codec — route those rows to quarantine, or
+    plug a library decoder in via ``decode_images(decoder=...)``."""
     if len(b) < 2:
         raise ValueError("payload too short")
     magic = bytes(b[:2])
+    if magic == _PNG_SIG[:2]:
+        return _png_decode(b)
     if magic in (b"P5", b"P6"):
         w, h, c, off = _ppm_header(b)
         need = w * h * c

@@ -1,0 +1,104 @@
+"""PNG decode (stdlib zlib, filters 0-4) — round-trip against encode_png
+and hand-built palette/corrupt fixtures."""
+import numpy as np
+import pytest
+import zlib
+
+from etl_ray.ops.multimodal import (_PNG_SIG, _png_decode, decode_image,
+                                    encode_png)
+
+
+def ref_image(h, w, ch, seed=0):
+    rng = np.random.default_rng(seed)
+    return rng.integers(0, 256, (h, w, ch), dtype=np.uint8)
+
+
+@pytest.mark.parametrize("filter_type", [0, 1, 2, 3, 4])
+@pytest.mark.parametrize("ch", [1, 2, 3, 4])
+def test_png_roundtrip_all_filters_and_channels(filter_type, ch):
+    img = ref_image(13, 7, ch, seed=filter_type * 10 + ch)
+    out = decode_image(encode_png(img, filter_type=filter_type))
+    assert out.shape == (13, 7, ch)
+    assert np.array_equal(out, img)
+
+
+def test_png_roundtrip_gradient_paeth():
+    # gradients exercise every branch of the Paeth predictor
+    y, x = np.mgrid[0:32, 0:17]
+    img = ((y * 11 + x * 7) % 256).astype(np.uint8)[:, :, None]
+    img = np.repeat(img, 3, axis=2)
+    img[:, :, 1] = (255 - img[:, :, 1])
+    for f in (3, 4):
+        assert np.array_equal(decode_image(encode_png(img, filter_type=f)),
+                              img)
+
+
+def test_png_palette_decode():
+    # hand-build a color-type-3 PNG: 2x3 image indexing a 4-entry palette
+    idx = np.array([[0, 1, 2], [3, 2, 1]], np.uint8)
+    pal = np.array([[255, 0, 0], [0, 255, 0], [0, 0, 255], [7, 8, 9]],
+                   np.uint8)
+    scan = b"".join(b"\x00" + idx[y].tobytes() for y in range(2))
+    ihdr = (3).to_bytes(4, "big") + (2).to_bytes(4, "big") + bytes(
+        [8, 3, 0, 0, 0])
+
+    def chunk(typ, data):
+        crc = zlib.crc32(typ + data) & 0xFFFFFFFF
+        return len(data).to_bytes(4, "big") + typ + data + crc.to_bytes(
+            4, "big")
+
+    b = (_PNG_SIG + chunk(b"IHDR", ihdr) + chunk(b"PLTE", pal.tobytes())
+         + chunk(b"IDAT", zlib.compress(scan)) + chunk(b"IEND", b""))
+    out = _png_decode(b)
+    assert out.shape == (2, 3, 3)
+    assert np.array_equal(out, pal[idx])
+
+
+def test_png_ancillary_chunks_skipped():
+    img = ref_image(4, 4, 3, seed=9)
+    b = encode_png(img, filter_type=2)
+    # splice a tEXt chunk between IHDR and IDAT
+    ihdr_end = 8 + 12 + 13
+    crc = zlib.crc32(b"tEXtk\x00v") & 0xFFFFFFFF
+    text = (3).to_bytes(4, "big") + b"tEXtk\x00v" + crc.to_bytes(4, "big")
+    spliced = b[:ihdr_end] + text + b[ihdr_end:]
+    assert np.array_equal(decode_image(spliced), img)
+
+
+@pytest.mark.parametrize("breakage", ["sig", "truncated", "depth", "inflate"])
+def test_png_corrupt_raises_value_error(breakage):
+    img = ref_image(5, 5, 3)
+    b = bytearray(encode_png(img))
+    if breakage == "sig":
+        b[1] = 0x51
+    elif breakage == "truncated":
+        b = b[: len(b) // 2]
+        # drop IDAT entirely so decode sees missing data, not short inflate
+        b = bytearray(_PNG_SIG) + b[8: 8 + 25]
+    elif breakage == "depth":
+        b[8 + 8 + 8] = 16  # IHDR bit depth byte
+    elif breakage == "inflate":
+        b[8 + 25 + 12] ^= 0xFF  # first IDAT payload byte
+    with pytest.raises(ValueError):
+        _png_decode(bytes(b))
+
+
+def test_decoder_stage_handles_png(ray_session):
+    import ray.data as rd
+
+    from etl_ray.ops.multimodal import RealImageDecoder, decode_images
+
+    imgs = [ref_image(6, 9, 3, seed=s) for s in range(4)]
+    rows = [{"doc_id": i, "payload": encode_png(m, filter_type=i % 5),
+             "media_type": "image/png", "payload_bytes": 0}
+            for i, m in enumerate(imgs)]
+    rows.append({"doc_id": 99, "payload": b"\xff\xd8jpeg",
+                 "media_type": "image/jpeg", "payload_bytes": 0})
+    out = decode_images(rd.from_items(rows), decoder=RealImageDecoder(),
+                        concurrency=2).to_pandas().sort_values("doc_id")
+    ok = out[out.doc_id < 99]
+    assert list(ok.width) == [9] * 4 and list(ok.height) == [6] * 4
+    exp_means = [float(int(m.sum(dtype=np.int64))) / m.size for m in imgs]
+    assert np.allclose(ok.mean_luma, exp_means)
+    bad = out[out.doc_id == 99].iloc[0]
+    assert bad.decode_error is not None and bad.width == 0
