@@ -26,6 +26,8 @@ from __future__ import annotations
 
 import numpy as np
 import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
 
 DEFAULT_NUM_BUCKETS = 256
 
@@ -197,16 +199,60 @@ def window_dedup(ds, *, key_cols=("user_id", "event_type"),
 def collect_series(ds, *, key_col: str = "user_id",
                    value_col: str = "value",
                    order_cols=("ts", "event_id"),
-                   num_buckets: int = DEFAULT_NUM_BUCKETS):
+                   num_buckets: int = DEFAULT_NUM_BUCKETS,
+                   as_list: bool = False):
     """Per-key ordered value series (SQL ``list(value ORDER BY ...)`` /
     array_agg): one row per key with the key's values concatenated in
     event-time order — the input layout for per-entity sequence models.
-    Values are emitted as an integer-cent CSV string (deterministic,
-    hashable; the repo's list-output convention, see pack_sequences).
-    NULL values are dropped. One shuffle by key; a key's history must fit
-    one task (same assumption as sessionize). Returns
-    (key, n, series_csv)."""
+    ``as_list=True`` emits the honest layout, an Arrow ``list<int64>``
+    column of integer cents named ``series`` (built from offsets, no
+    per-row Python); default emits the integer-cent CSV string the SQL
+    oracle hashes deterministically. NULL values are dropped. One shuffle
+    by key; a key's history must fit one task (same assumption as
+    sessionize). Returns (key, n, series_csv | series)."""
     order_cols = list(order_cols)
+
+    if as_list:
+        def per_bucket_arrow(t: pa.Table) -> pa.Table:
+            t = t.drop_columns(["__bucket"])
+            idx = pc.sort_indices(
+                t, sort_keys=[(c, "ascending")
+                              for c in [key_col] + order_cols])
+            t = t.take(idx)
+            keys = t[key_col].to_numpy(zero_copy_only=False)
+            v = t[value_col].to_pandas().to_numpy(dtype=np.float64)
+            keep = ~np.isnan(v)
+            cents = np.round(v[keep] * 100).astype(np.int64)
+            kept_keys = keys[keep]
+            # unique keys in sorted order (keys are pre-sorted)
+            if len(keys):
+                first = np.concatenate(
+                    [[True], keys[1:] != keys[:-1]])
+            else:
+                first = np.zeros(0, dtype=bool)
+            uk = keys[first]
+            pos = np.searchsorted(uk, kept_keys)
+            counts = np.bincount(pos, minlength=len(uk))
+            offsets = np.concatenate(
+                [[0], np.cumsum(counts)]).astype(np.int32)
+            series = pa.ListArray.from_arrays(
+                pa.array(offsets), pa.array(cents, pa.int64()))
+            return pa.table({
+                key_col: pa.array(uk, t.schema.field(key_col).type),
+                "n": pa.array(counts.astype(np.int64)),
+                "series": series,
+            })
+
+        def tag(df: pd.DataFrame) -> pd.DataFrame:
+            df = df.copy()
+            h = pd.util.hash_pandas_object(
+                df[[key_col]], index=False).to_numpy()
+            df["__bucket"] = (h % num_buckets).astype(np.int64)
+            return df
+
+        return (ds.map_batches(tag, batch_format="pandas")
+                .groupby("__bucket")
+                .map_groups(per_bucket_arrow, batch_format="pyarrow"))
 
     def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
         g = g.sort_values([key_col] + order_cols, kind="stable")

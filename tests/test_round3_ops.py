@@ -155,3 +155,31 @@ def test_bucketize_by_quantile():
     # percentile_disc boundaries of 1..8 at (.25,.5,.75) = (2,4,6);
     # bucket i iff v <= boundary_i
     assert list(out["bucket"]) == [0, 0, 1, 1, 2, 2, 3, 3]
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_collect_series_as_list_matches_csv():
+    """as_list=True emits a true Arrow list<int64> column whose values
+    equal the CSV parse (VERDICT r4 next-step #8)."""
+    import pyarrow as pa
+
+    from etl_ray.ops.windows import collect_series
+
+    ts = pd.to_datetime(["2024-01-01 02:00", "2024-01-01 01:00",
+                         "2024-01-01 03:00", "2024-01-01 00:30",
+                         "2024-01-01 00:45"])
+    df = pd.DataFrame({"user_id": [1, 1, 1, 2, 3],
+                       "value": [2.5, 1.25, np.nan, 9.0, np.nan],
+                       "ts": ts, "event_id": [1, 2, 3, 4, 5]})
+    ds = rd.from_pandas(df)
+    lst = collect_series(ds, as_list=True)
+    schema = lst.schema()
+    s_type = dict(zip(schema.names, schema.types))["series"]
+    assert pa.types.is_list(s_type) and pa.types.is_int64(s_type.value_type)
+    got = {r["user_id"]: list(r["series"]) for r in lst.take_all()}
+    csv = collect_series(ds).to_pandas()
+    exp = {int(r.user_id): ([int(x) for x in r.series_csv.split(",")]
+                            if r.series_csv else [])
+           for r in csv.itertuples()}
+    assert got == exp
+    assert got[1] == [125, 250] and got[3] == []
