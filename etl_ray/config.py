@@ -302,6 +302,11 @@ class EngineConfig:
     # None = auto (on for exchange_format="ipc", off for parquet — the
     # winner gather needs mmap random access, i.e. shared-fs/tmpfs roots).
     exchange_split_payload: Optional[bool] = None
+    # stage-2 bucket count = cpus × this (capped by num_partitions·max_salt).
+    # 2 = two waves of bucket tasks per round of CPUs; raise for better
+    # wave-packing when buckets are skewed, at the cost of more fragment
+    # files per stage-1 task (each stage-1 task writes one file per bucket)
+    bucket_multiplier: int = 2
     skip_count: int = 0  # sampling relief valve (reference etl/globals.go:326-330)
     # abort the commit (manifest unflipped, CommitAborted raised) when
     # quarantined/events_in exceeds this ratio — the reference's TaskError

@@ -292,15 +292,20 @@ def _bucket_self_pairs(sig, key_cols, id_col: str, max_bucket_ids: int,
     if len(hot):
         print(f"[dedup] skipping {len(hot)} LSH buckets over "
               f"{max_bucket_ids} members (largest: {int(hot['n'].max())})")
-        hot_keys = set(map(tuple, hot[key_cols].itertuples(index=False)))
+        if len(key_cols) == 1:
+            hot_set = pa.array(hot[key_cols[0]])
 
-        def drop_hot(t: pa.Table) -> pa.Table:
-            cols = [t[k].to_numpy(zero_copy_only=False) for k in key_cols]
-            mask = np.fromiter(
-                (tuple(c[i] for c in cols) not in hot_keys
-                 for i in range(len(t))),
-                dtype=bool, count=len(t))
-            return t.filter(pa.array(mask))
+            def drop_hot(t: pa.Table) -> pa.Table:
+                mask = _pc.invert(_pc.is_in(
+                    t[key_cols[0]], value_set=hot_set))
+                return t.filter(mask)
+        else:
+            hot_idx = pd.MultiIndex.from_frame(hot[key_cols])
+
+            def drop_hot(t: pa.Table) -> pa.Table:
+                keys = pd.MultiIndex.from_frame(
+                    t.select(key_cols).to_pandas())
+                return t.filter(pa.array(~keys.isin(hot_idx)))
 
         sig = sig.map_batches(drop_hot, batch_format="pyarrow").materialize()
         if sig.count() == 0:
@@ -315,6 +320,12 @@ def _bucket_self_pairs(sig, key_cols, id_col: str, max_bucket_ids: int,
                     (f"{payload_col}_b", pa.binary())] if payload_col else [])
             ).empty_table()
             return _rd.from_arrow(empty)
+        # blocks the drop EMPTIED are schema-less in Ray's RefBundle and
+        # poison the hash-shuffle join (Acero: "No match ... FieldRef
+        # band"); one repartition of the tiny surviving signature rows
+        # coalesces them away
+        cnt = sig.count()
+        sig = sig.repartition(max(1, min(256, cnt // 65536 + 1)))
 
     keep = key_cols + [id_col] + ([payload_col] if payload_col else [])
     left = sig.map_batches(lambda t: t.select(keep), batch_format="pyarrow")

@@ -110,7 +110,8 @@ def _storage_exchange_apply(seg_paths, lake_dir, commit_id, config, target,
     # retry regenerates them deterministically
     cleanup_exchange(lake_dir, commit_id, config.exchange_root)
     exch = exchange_path(lake_dir, commit_id, config.exchange_root)
-    n_buckets = max(4, min(config.num_partitions * config.max_salt, cpus * 2))
+    n_buckets = max(4, min(config.num_partitions * config.max_salt,
+                           cpus * config.bucket_multiplier))
 
     ctx = rd.DataContext.get_current()
     prev_min = ctx.target_min_block_size

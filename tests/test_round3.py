@@ -307,3 +307,24 @@ def test_ivf_build_query_matches_unbuilt():
                      concurrency=2)
     pd.testing.assert_frame_equal(built.reset_index(drop=True),
                                   plain.reset_index(drop=True))
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_bucket_self_pairs_multikey_hot_drop_is_partial():
+    """Multi-column bucket keys: only the over-cap bucket's rows are
+    dropped; other buckets still pair (covers the vectorized MultiIndex
+    drop path)."""
+    import ray.data as rd
+
+    from etl_ray.ops.dedup import _bucket_self_pairs
+
+    rows = []
+    # hot bucket (band=0, h=7): 5 members > cap 3; cool (band=1, h=9): 3
+    for i in range(5):
+        rows.append({"band": 0, "band_hash": 7, "doc_id": i})
+    for i in range(5, 8):
+        rows.append({"band": 1, "band_hash": 9, "doc_id": i})
+    out = _bucket_self_pairs(rd.from_items(rows), ["band", "band_hash"],
+                             "doc_id", 3).to_pandas()
+    got = set(map(tuple, out[["id_a", "id_b"]].itertuples(index=False)))
+    assert got == {(5, 6), (5, 7), (6, 7)}
