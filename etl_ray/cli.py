@@ -111,7 +111,26 @@ def main(argv=None) -> int:
     sp.add_argument("--port", type=int, default=8080)
     sp.add_argument("--num-cpus", type=int, default=None)
 
+    sp = sub.add_parser(
+        "poll", help="pull jobs from a Gardener-style tracker and parse "
+                     "them (POST /v2/job/{next,heartbeat,update})")
+    sp.add_argument("--tracker", required=True,
+                    help="tracker base URL, e.g. http://gardener:8080")
+    sp.add_argument("--max-jobs", type=int, default=None)
+    sp.add_argument("--period", type=float, default=0.0,
+                    help="pause between jobs (the reference's poll tick)")
+    sp.add_argument("--num-cpus", type=int, default=None)
+
     args = p.parse_args(argv)
+
+    if args.cmd == "poll":
+        from etl_ray.tracker import poll
+
+        _init_ray(args.num_cpus)
+        done = poll(args.tracker, max_jobs=args.max_jobs,
+                    period=args.period)
+        print(json.dumps(done))
+        return 0
 
     if args.cmd == "worker":
         from etl_ray.service import WorkerService

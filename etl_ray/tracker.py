@@ -1,0 +1,142 @@
+"""Remote job-tracker (Gardener) protocol: the worker's OUTBOUND status
+reporting to an external coordinator.
+
+The reference parser is driven by Gardener: it polls ``POST /v2/job/next``
+for a job (a bucket/prefix + filename filter), posts
+``POST /v2/job/heartbeat?id=…`` while working, and posts
+``POST /v2/job/update?id=…&state=…&detail=…`` state transitions —
+``Parsing`` as archives complete and ``ParseComplete`` when the job is
+drained (reference active/poller.go:83-106, 169-191; the endpoint shapes
+are pinned by active/poller_test.go:55-70). Gardener treats those updates
+as the job checkpoint; a worker that goes silent gets its job re-issued.
+
+Engine analog, same wire shapes, stdlib HTTP only: ``JobClient`` speaks
+the three endpoints; ``run_job`` executes one job as a Ray pipeline
+(list archives under the job root → filter → parse_archives); ``poll``
+is the reference's Poll loop — next/run/update until the queue drains.
+Heartbeats are posted per listed archive at dispatch (the Ray pipeline
+runs archives in parallel inside one Dataset execution, so heartbeating
+per-archive-at-completion would require per-task callbacks; dispatch-time
+beats carry the same liveness signal). Transport failures are logged and
+never fail the job — status reporting must not take down parsing
+(reference logs-and-continues in the same spots)."""
+
+from __future__ import annotations
+
+import json
+import time
+import urllib.error
+import urllib.parse
+import urllib.request
+from typing import Callable, Optional
+
+# reference tracker states used by the parser side (tracker/tracker.go)
+PARSING = "Parsing"
+PARSE_COMPLETE = "ParseComplete"
+FAILED = "Failed"
+
+
+class JobClient:
+    """Gardener v2 job API client (stdlib urllib; no dependencies)."""
+
+    def __init__(self, base_url: str, *, timeout: float = 10.0):
+        self.base = base_url.rstrip("/")
+        self.timeout = timeout
+        self.transport_errors = 0
+
+    def _post(self, path: str, params: Optional[dict] = None) -> Optional[bytes]:
+        url = self.base + path
+        if params:
+            url += "?" + urllib.parse.urlencode(params)
+        req = urllib.request.Request(url, data=b"", method="POST")
+        try:
+            with urllib.request.urlopen(req, timeout=self.timeout) as r:
+                return r.read()
+        except (urllib.error.URLError, OSError) as ex:
+            self.transport_errors += 1
+            print(f"[tracker] {path} failed: {ex}", flush=True)
+            return None
+
+    def next_job(self) -> Optional[dict]:
+        """POST /v2/job/next → job dict, or None when the queue is empty /
+        the tracker is unreachable. Expected fields: ``id`` plus whatever
+        locates the input (the engine reads ``root`` or ``bucket``+
+        ``prefix``, and an optional ``filter`` regex)."""
+        body = self._post("/v2/job/next")
+        if not body:
+            return None
+        try:
+            return json.loads(body)
+        except json.JSONDecodeError:
+            print(f"[tracker] bad job payload: {body[:200]!r}", flush=True)
+            return None
+
+    def heartbeat(self, job_id) -> bool:
+        return self._post("/v2/job/heartbeat", {"id": job_id}) is not None
+
+    def update(self, job_id, state: str, detail: str = "") -> bool:
+        return self._post(
+            "/v2/job/update",
+            {"id": job_id, "state": state, "detail": detail}) is not None
+
+
+def job_root(job: dict) -> str:
+    """Input root of a job: ``root`` verbatim, or gs://bucket/prefix."""
+    if "root" in job:
+        return job["root"]
+    if "bucket" in job:
+        prefix = (job.get("prefix") or "").lstrip("/")
+        return f"gs://{job['bucket']}/{prefix}".rstrip("/")
+    raise ValueError(f"job carries no input location: {job}")
+
+
+def run_job(job: dict, client: JobClient, *,
+            registry: Optional[dict] = None) -> dict:
+    """Execute one tracker job: list archives under the job root (filter
+    regex applied at the listing, like JobFileSource), heartbeat per
+    dispatched archive, parse all of them as ONE Ray pipeline, report
+    Parsing progress and the final counts."""
+    from etl_ray.parsers import parse_archives
+    from etl_ray.sources.archive import list_archives
+
+    kw = {}
+    if job.get("filter"):
+        kw["pattern"] = job["filter"]
+    paths = list_archives(job_root(job), **kw)
+    for _ in paths:  # one liveness beat per dispatched archive
+        client.heartbeat(job["id"])
+    if not paths:
+        return {"archives": 0, "rows": 0, "errors": 0}
+    client.update(job["id"], PARSING,
+                  f"dispatched {len(paths)} archives")
+    parsed = parse_archives(paths, registry).to_pandas()
+    err = parsed["error"].notna()
+    return {"archives": len(paths), "rows": int((~err).sum()),
+            "errors": int(err.sum())}
+
+
+def poll(base_url: str, *, max_jobs: Optional[int] = None,
+         period: float = 0.0, registry: Optional[dict] = None,
+         run: Callable = run_job) -> list:
+    """The reference Poll loop: next → run → update, until the queue
+    drains (next_job returns None) or ``max_jobs`` is hit. A job failure
+    posts state=Failed with the error detail and the loop continues —
+    one bad job must not stop the worker."""
+    client = JobClient(base_url)
+    done = []
+    while max_jobs is None or len(done) < max_jobs:
+        job = client.next_job()
+        if job is None:
+            break
+        client.update(job["id"], PARSING, "starting tasks")
+        try:
+            result = run(job, client, registry=registry)
+        except Exception as ex:  # noqa: BLE001 — job isolation
+            client.update(job["id"], FAILED, str(ex))
+            done.append({"id": job["id"], "error": str(ex)})
+        else:
+            client.update(job["id"], PARSE_COMPLETE, "")
+            done.append({"id": job["id"], **result})
+        if period:
+            time.sleep(period)
+    return done

@@ -1,0 +1,130 @@
+"""Gardener job-tracker protocol: fake tracker (stdlib HTTP), real Ray
+parse pipeline — the analog of reference active/poller_test.go."""
+import io
+import json
+import tarfile
+import threading
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from urllib.parse import parse_qs, urlparse
+
+import pytest
+
+from etl_ray.tracker import (FAILED, PARSE_COMPLETE, PARSING, JobClient,
+                             job_root, poll)
+
+
+class FakeGardener:
+    """Counts heartbeats/updates and hands out a queued job list, like
+    poller_test.go's fakeGardener."""
+
+    def __init__(self):
+        self.jobs = []
+        self.heartbeats = 0
+        self.updates = []  # (id, state, detail)
+        fg = self
+
+        class Handler(BaseHTTPRequestHandler):
+            def log_message(self, fmt, *args):
+                pass
+
+            def do_POST(self):
+                url = urlparse(self.path)
+                q = {k: v[0] for k, v in parse_qs(url.query).items()}
+                if url.path == "/v2/job/next":
+                    if not fg.jobs:
+                        self.send_response(500)
+                        self.end_headers()
+                        return
+                    body = json.dumps(fg.jobs.pop(0)).encode()
+                    self.send_response(200)
+                    self.send_header("Content-Length", str(len(body)))
+                    self.end_headers()
+                    self.wfile.write(body)
+                elif url.path == "/v2/job/heartbeat":
+                    fg.heartbeats += 1
+                    self.send_response(200)
+                    self.end_headers()
+                elif url.path == "/v2/job/update":
+                    fg.updates.append(
+                        (q["id"], q["state"], q.get("detail", "")))
+                    self.send_response(200)
+                    self.end_headers()
+                else:
+                    self.send_response(404)
+                    self.end_headers()
+
+        self.httpd = ThreadingHTTPServer(("127.0.0.1", 0), Handler)
+        self.url = f"http://127.0.0.1:{self.httpd.server_address[1]}"
+        threading.Thread(target=self.httpd.serve_forever,
+                         daemon=True).start()
+
+    def close(self):
+        self.httpd.shutdown()
+
+
+def write_tar(path, members):
+    with tarfile.open(path, "w") as tf:
+        for name, data in members:
+            info = tarfile.TarInfo(name)
+            info.size = len(data)
+            tf.addfile(info, io.BytesIO(data))
+
+
+@pytest.fixture()
+def gardener():
+    fg = FakeGardener()
+    yield fg
+    fg.close()
+
+
+def test_job_root_shapes():
+    assert job_root({"root": "/data/x"}) == "/data/x"
+    assert job_root({"bucket": "b", "prefix": "ndt/2019"}) == "gs://b/ndt/2019"
+    with pytest.raises(ValueError):
+        job_root({"id": "j1"})
+
+
+def test_poll_runs_jobs_and_reports(gardener, ray_session, tmp_path):
+    write_tar(tmp_path / "a.tar", [("x.json", b'{"k": 1}')])
+    write_tar(tmp_path / "b.tar", [("y.json", b'{"k": 2}'),
+                                   ("z.json", b'{"k": 3}')])
+    gardener.jobs.append({"id": "j1", "root": str(tmp_path)})
+    done = poll(gardener.url, max_jobs=5)
+    assert len(done) == 1
+    assert done[0] == {"id": "j1", "archives": 2, "rows": 3, "errors": 0}
+    assert gardener.heartbeats == 2  # one per dispatched archive
+    states = [(u[0], u[1]) for u in gardener.updates]
+    assert states[0] == ("j1", PARSING)  # starting tasks
+    assert ("j1", PARSE_COMPLETE) in states
+    # queue drained: poll stopped on the 500 from /v2/job/next
+
+
+def test_poll_isolates_job_failures(gardener, ray_session, tmp_path):
+    gardener.jobs.append({"id": "bad"})  # no input location → ValueError
+    write_tar(tmp_path / "a.tar", [("x.json", b'{"k": 1}')])
+    gardener.jobs.append({"id": "good", "root": str(tmp_path)})
+    done = poll(gardener.url, max_jobs=5)
+    assert [d["id"] for d in done] == ["bad", "good"]
+    assert "error" in done[0] and done[1]["rows"] == 1
+    by_id = {}
+    for jid, state, _ in gardener.updates:
+        by_id.setdefault(jid, []).append(state)
+    assert FAILED in by_id["bad"]
+    assert PARSE_COMPLETE in by_id["good"]
+
+
+def test_client_survives_unreachable_tracker():
+    c = JobClient("http://127.0.0.1:1", timeout=0.2)  # nothing listens
+    assert c.next_job() is None
+    assert c.heartbeat("x") is False
+    assert c.update("x", PARSING) is False
+    assert c.transport_errors == 3
+
+
+def test_job_filter_applied(gardener, ray_session, tmp_path):
+    write_tar(tmp_path / "keep_me.tar", [("x.json", b'{"k": 1}')])
+    write_tar(tmp_path / "skip.tar", [("y.json", b'{"k": 2}')])
+    gardener.jobs.append({"id": "jf", "root": str(tmp_path),
+                          "filter": r"keep_.*\.tar$"})
+    done = poll(gardener.url, max_jobs=1)
+    assert done[0]["archives"] == 1 and done[0]["rows"] == 1
