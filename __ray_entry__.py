@@ -1788,6 +1788,21 @@ def _q_text_quality(sf_dir: str):
     return out.sort_values("doc_id").reset_index(drop=True)
 
 
+def _q_repetition_scores(sf_dir: str):
+    """Gopher-style repetition curation signals per document: duplicate
+    word fraction, top word/bigram coverage, duplicate trigram fraction
+    (ops/textops.py repetition_scores — batch-local explode + shifted-
+    array n-grams, zero shuffle)."""
+    import ray.data as rd
+
+    from etl_ray.ops.textops import repetition_scores
+
+    ds = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                         columns=["doc_id", "text"])
+    out = repetition_scores(ds).to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
 def _q_contamination(sf_dir: str):
     """Train/test overlap (decontamination) check: every 37th document
     plays the held-out benchmark; each corpus document reports how many of
@@ -2566,6 +2581,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ndt_group_deltas": _q_ndt_group_deltas,
         "text_token_counts": _q_text_tokens,
         "text_quality": _q_text_quality,
+        "repetition_scores": _q_repetition_scores,
         "doc_fingerprint": _q_doc_fingerprint,
         "lang_id": _q_lang_id,
         "pii_scrub": _q_pii_scrub,
@@ -3315,4 +3331,38 @@ ORDER BY c.doc_id
         "lang_id": _sql_lang_id(),
         "pii_scrub": _sql_pii_scrub(),
         "contamination_check": _sql_contamination(),
+        "repetition_scores": r"""
+WITH toks AS (
+  SELECT doc_id,
+         UNNEST(regexp_split_to_array(trim(text), '\s+')) AS token,
+         UNNEST(generate_series(
+             1, len(regexp_split_to_array(trim(text), '\s+')))) AS i
+  FROM documents WHERE trim(text) <> ''
+), wc AS (
+  SELECT doc_id, token, count(*) AS c FROM toks GROUP BY 1, 2
+), ws AS (
+  SELECT doc_id, sum(c) AS n_tok, max(c) AS topw, count(*) AS uniqw
+  FROM wc GROUP BY 1
+), bi AS (
+  SELECT a.doc_id, a.token || ' ' || b.token AS g
+  FROM toks a JOIN toks b ON a.doc_id = b.doc_id AND b.i = a.i + 1
+), bc AS (SELECT doc_id, g, count(*) AS c FROM bi GROUP BY 1, 2),
+bs AS (SELECT doc_id, sum(c) AS nb, max(c) AS topb FROM bc GROUP BY 1),
+tri AS (
+  SELECT a.doc_id, a.token || ' ' || b.token || ' ' || c.token AS g
+  FROM toks a
+  JOIN toks b ON a.doc_id = b.doc_id AND b.i = a.i + 1
+  JOIN toks c ON a.doc_id = c.doc_id AND c.i = a.i + 2
+), tc AS (SELECT doc_id, g, count(*) AS c FROM tri GROUP BY 1, 2),
+ts AS (SELECT doc_id, sum(c) AS nt, count(*) AS uniqt FROM tc GROUP BY 1)
+SELECT ws.doc_id, CAST(ws.n_tok AS BIGINT) AS n_tok,
+  floor((1.0 - uniqw / ws.n_tok) * 1e4 + 0.5) / 1e4 + 0.0 AS dup_word_frac,
+  floor((topw / ws.n_tok) * 1e4 + 0.5) / 1e4 + 0.0 AS top_word_frac,
+  coalesce(floor((topb / nb) * 1e4 + 0.5) / 1e4, 0.0) + 0.0
+      AS top_bigram_frac,
+  coalesce(floor((1.0 - uniqt / nt) * 1e4 + 0.5) / 1e4, 0.0) + 0.0
+      AS dup_trigram_frac
+FROM ws LEFT JOIN bs USING (doc_id) LEFT JOIN ts USING (doc_id)
+ORDER BY ws.doc_id
+""",
     }

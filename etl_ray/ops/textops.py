@@ -177,3 +177,95 @@ def scrub_pii(ds, *, text_col: str = "text", id_col: str = "doc_id"):
         return pa.table(cols)
 
     return ds.map_batches(f, batch_format="pyarrow")
+
+
+def repetition_scores(ds, *, id_col: str = "doc_id", text_col: str = "text"):
+    """Gopher-style repetition quality signals per document → (id, n_tok,
+    dup_word_frac, top_word_frac, top_bigram_frac, dup_trigram_frac).
+
+    The staple heuristics pre-training curation applies before any model
+    sees the text (Rae et al. 2021 "Scaling Language Models" table A1;
+    C4/RefinedWeb use the same family): a page whose most frequent bigram
+    covers a third of the text, or whose trigrams are mostly repeats, is
+    boilerplate or keyword stuffing. Definitions (whitespace tokens):
+
+      dup_word_frac    = 1 - unique_words / n_tok
+      top_word_frac    = count(most frequent word) / n_tok
+      top_bigram_frac  = count(most frequent bigram) / n_bigrams (0 if none)
+      dup_trigram_frac = 1 - unique_trigrams / n_trigrams     (0 if none)
+
+    Zero shuffle — a document is one row, so everything is batch-local.
+    Vectorization mirrors doc_entropy: one explode, consecutive-token
+    n-grams built by shifted-array concat gated on same-row masks, grouped
+    sums — no per-row Python. Empty documents are dropped (no tokens to
+    score). Fractions rounded to 4 decimals for stable cross-engine
+    comparison."""
+
+    def _gram_stats(r: np.ndarray, g: pd.Series, n_docs: int):
+        """(max count, total, unique) per row index for gram series g
+        grouped by row ids r; rows absent from r get (0, 0, 0)."""
+        out = np.zeros((n_docs, 3), dtype=np.int64)
+        if len(g) == 0:
+            return out
+        c = pd.DataFrame({"r": r, "g": g.to_numpy()}).groupby(
+            ["r", "g"], sort=False).size()
+        rows = c.index.get_level_values(0).to_numpy()
+        byrow = c.groupby(rows)
+        idx = byrow.max().index.to_numpy()
+        out[idx, 0] = byrow.max().to_numpy()
+        out[idx, 1] = byrow.sum().to_numpy()
+        out[idx, 2] = byrow.size().to_numpy()
+        return out
+
+    def f(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.reset_index(drop=True)
+        toks = df[text_col].astype(str).str.split().explode().dropna()
+        toks = toks[toks != ""]
+        empty = pd.DataFrame({
+            id_col: pd.Series([], dtype=df[id_col].dtype),
+            "n_tok": pd.Series([], dtype="int64"),
+            "dup_word_frac": pd.Series([], dtype="float64"),
+            "top_word_frac": pd.Series([], dtype="float64"),
+            "top_bigram_frac": pd.Series([], dtype="float64"),
+            "dup_trigram_frac": pd.Series([], dtype="float64"),
+        })
+        if len(toks) == 0:
+            return empty
+        r = toks.index.to_numpy()
+        t = pd.Series(toks.to_numpy(), copy=False)
+        n = len(df)
+        w = _gram_stats(r, t, n)
+        m2 = r[1:] == r[:-1]
+        bg = (t.iloc[:-1].reset_index(drop=True) + " " +
+              t.iloc[1:].reset_index(drop=True))[m2]
+        b = _gram_stats(r[:-1][m2], bg, n)
+        m3 = r[2:] == r[:-2]
+        tg = (t.iloc[:-2].reset_index(drop=True) + " " +
+              t.iloc[1:-1].reset_index(drop=True) + " " +
+              t.iloc[2:].reset_index(drop=True))[m3]
+        g3 = _gram_stats(r[:-2][m3], tg, n)
+        keep = w[:, 1] > 0
+        n_tok = w[keep, 1].astype(np.float64)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            dup_w = 1.0 - w[keep, 2] / n_tok
+            top_w = w[keep, 0] / n_tok
+            top_b = np.where(b[keep, 1] > 0, b[keep, 0] / b[keep, 1], 0.0)
+            dup_t = np.where(g3[keep, 1] > 0,
+                             1.0 - g3[keep, 2] / np.maximum(g3[keep, 1], 1),
+                             0.0)
+        # round half-AWAY-from-zero (floor(x*1e4+0.5)/1e4): numpy's
+        # banker's rounding and SQL round() disagree on exact dyadic
+        # ties like 1/32 = 0.03125; this form is identical in both.
+        def r4(x):
+            return np.floor(x * 1e4 + 0.5) / 1e4 + 0.0
+
+        return pd.DataFrame({
+            id_col: df[id_col].to_numpy()[keep],
+            "n_tok": w[keep, 1],
+            "dup_word_frac": r4(dup_w),
+            "top_word_frac": r4(top_w),
+            "top_bigram_frac": r4(top_b),
+            "dup_trigram_frac": r4(dup_t),
+        })
+
+    return ds.map_batches(f, batch_format="pandas")

@@ -33,6 +33,7 @@ UNSAMPLED = [
     "pii_scrub",
     "pt_paris_hops",
     "range_join_events",
+    "repetition_scores",
     "revenue_by_nation",
     "stratified_sample",
     "token_histogram",
