@@ -103,8 +103,12 @@ sh AS (
   WHERE w1.nw < 3 AND w1.i = 1
 ),
 mh0 AS (
-  SELECT doc_id, p.perm, min((p.a * (s % {_MERSENNE61}) + p.b)
-                             % {_MERSENNE61}) AS m
+  -- the engine's MinHasher runs (a*s + b) in numpy uint64, i.e. the
+  -- product WRAPS mod 2^64 before the Mersenne reduction — a deliberate
+  -- single-word hash family; reproduce the wrap for bit-equality
+  SELECT doc_id, p.perm,
+         min(((p.a * (s % {_MERSENNE61}) + p.b)
+              % 18446744073709551616) % {_MERSENNE61}) AS m
   FROM sh, perms p GROUP BY doc_id, p.perm
 ),
 mh AS (
@@ -128,6 +132,27 @@ cand AS (
 
 def _sql_dedup_minhash() -> str:
     return f"WITH {_minhash_cte()} SELECT id_a, id_b FROM cand ORDER BY 1, 2"
+
+
+def _sql_cdc_dedup_incremental() -> str:
+    """Signatures over the CLOSED-FORM final state of the docs changelog
+    (analogs.docs_to_changelog: delete doc_id%7==0, update doc_id%5==0 to
+    the next doc's text) — what the incrementally-maintained index must
+    equal after refresh."""
+    return f"""
+WITH nn AS (SELECT count(*) AS n FROM documents),
+final AS (
+  SELECT CAST(d.doc_id AS VARCHAR) AS doc_id,
+         CASE WHEN d.doc_id % 5 = 0 THEN u.text ELSE d.text END AS text
+  FROM documents d
+  CROSS JOIN nn
+  LEFT JOIN documents u ON u.doc_id = (d.doc_id + 1) % nn.n
+  WHERE d.doc_id % 7 <> 0
+),
+{_minhash_cte('final')}
+SELECT doc_id, CAST(perm AS INT) AS perm, CAST(m AS BIGINT) AS m
+FROM mh ORDER BY doc_id, perm
+"""
 
 
 def _scored_pairs_ctes(threshold: float = 0.3,
@@ -2055,6 +2080,32 @@ def _q_cdc_ivm_view(sf_dir: str):
     )
 
 
+def _q_cdc_dedup_incremental(sf_dir: str):
+    """Incrementally-maintained MinHash signature index (ops/dedup_ivm.py):
+    build the index at lake version 1 (inserts only), replay update/delete
+    commits, refresh the index from manifest deltas — only dirty
+    partitions are read and only docs whose winning sequence_number
+    changed are re-hashed. The returned signature table must equal a
+    from-scratch signature pass over the final state, which is what the
+    oracle computes in HUGEINT SQL."""
+    from etl_ray.config import EngineConfig
+    from etl_ray.ops.dedup_ivm import (build_signature_index,
+                                       refresh_signature_index,
+                                       signatures_long)
+    from etl_ray.pipelines import analogs as A
+    from etl_ray.pipelines.replay import replay
+
+    wal, lake = A.fresh_dirs("sigivm")
+    A.docs_to_changelog(sf_dir, wal)
+    cfg = EngineConfig(num_partitions=8, apply_concurrency=None,
+                       payload=A.docs_payload())
+    replay(wal, lake, cfg, segments_per_commit=1)  # versions 1..3
+    build_signature_index(lake, version=1)
+    refresh_signature_index(lake)
+    out = signatures_long(lake).to_pandas()
+    return out.sort_values(["doc_id", "perm"]).reset_index(drop=True)
+
+
 def _q_chunk_sequences(sf_dir: str):
     """Long-document sliding-window chunking (max_len=128, overlap=32):
     batch-local 1->N vectorized gather, zero shuffle."""
@@ -2565,6 +2616,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hopping_window": _q_hopping_window,
         "cdc_lake_diff": _q_cdc_lake_diff,
         "cdc_ivm_view": _q_cdc_ivm_view,
+        "cdc_dedup_incremental": _q_cdc_dedup_incremental,
         "chunk_sequences": _q_chunk_sequences,
         "stratified_sample": _q_stratified_sample,
         "top_events_per_user": _q_top_events_per_user,
@@ -3219,6 +3271,7 @@ SELECT token, count(*) AS n
 FROM toks WHERE token <> '' GROUP BY token ORDER BY token
 """,
         "dedup_minhash_lsh": _sql_dedup_minhash(),
+        "cdc_dedup_incremental": _sql_cdc_dedup_incremental(),
         "dedup_ngram_jaccard": _sql_dedup_ngram_jaccard(0.3),
         "dedup_clusters": _sql_dedup_clusters(0.3),
         "doc_frequencies": _sql_doc_frequencies(),

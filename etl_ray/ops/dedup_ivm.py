@@ -1,0 +1,286 @@
+"""Incremental MinHash signature-index maintenance over a CDC lake.
+
+The dedup twin of ops/ivm.py: near-duplicate detection at corpus scale
+needs a signature per document, and recomputing the whole corpus after
+every ingest commit is exactly the rescan CDC exists to avoid. This module
+maintains a MinHash signature table CO-PARTITIONED with the lake (one
+signature file per lake partition) and refreshes it from manifest deltas:
+
+- a partition whose live-file list is UNCHANGED between the index's as-of
+  version and the lake head cannot contain changed docs — its signature
+  file is carried forward by reference, never read, never rewritten;
+- a dirty partition is re-merged (same LWW merge the lake readers use),
+  and only docs whose winning ``sequence_number`` differs from the one
+  recorded in the old signature file are re-hashed; deletes simply drop
+  out because the new file keeps exactly the partition's live doc_ids.
+
+So a refresh costs O(dirty partitions) reads and O(changed docs) hashing —
+at 10^10 events over 10^8 docs a commit touching 1% of partitions reads 1%
+of the signature index and hashes only the upserted docs.
+
+Signatures are the SAME MinHasher(seed=97) scheme the LSH dedup pipeline
+and its SQL oracle use (ops/dedup.py:180), so the maintained index is
+verifiable: after any number of incremental refreshes the table must be
+bit-equal to a from-scratch signature pass over the lake's final state.
+
+State layout under ``<lake>/_views/<name>/``: ``v<V>/part-<k>.parquet``
+files (columns doc_id, sequence_number, sig: binary of num_perm uint64
+little-endian) plus a ``meta.json`` recording the as-of version and the
+per-partition file list (which may reference older version dirs for
+carried-forward partitions). Writes are tmp+rename atomic, meta flip last
+— a crash mid-refresh leaves the previous consistent index.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import List, Optional
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from etl_ray.state.manifest import Manifest
+
+_META = "meta.json"
+
+
+def _index_dir(lake_dir: str, name: str) -> str:
+    return os.path.join(lake_dir, "_views", name)
+
+
+def _load_meta(lake_dir: str, name: str) -> Optional[dict]:
+    mp = os.path.join(_index_dir(lake_dir, name), _META)
+    if not os.path.exists(mp):
+        return None
+    with open(mp) as f:
+        return json.load(f)
+
+
+def _write_meta(lake_dir: str, name: str, meta: dict) -> None:
+    d = _index_dir(lake_dir, name)
+    os.makedirs(d, exist_ok=True)
+    tmp = os.path.join(d, _META + ".tmp")
+    with open(tmp, "w") as f:
+        json.dump(meta, f, indent=1, sort_keys=True)
+    os.replace(tmp, os.path.join(d, _META))
+
+
+class _SigPartition:
+    """One call (re)builds one partition's signature file. Hasher state
+    (permutation coefficients) built once per worker; the merge is the
+    same LWW sort-merge the lake readers use, so 'live docs' here is
+    byte-identical to what read_lake returns for the partition."""
+
+    def __init__(self, lake_dir: str, schema_hex: str, out_dir: str,
+                 text_col: str, num_perm: int, shingle_n: int, seed: int):
+        from etl_ray.ops.dedup import MinHasher
+        from etl_ray.schema import schema_from_hex
+
+        self.lake_dir = lake_dir
+        self.schema = schema_from_hex(schema_hex)
+        self.out_dir = out_dir
+        self.text_col = text_col
+        self.hasher = MinHasher(num_perm=num_perm, shingle_n=shingle_n,
+                                seed=seed)
+
+    def _live(self, files: List[str]) -> pa.Table:
+        from etl_ray.stages.merge import merge_runs
+
+        want = ("doc_id", "sequence_number", "op", self.text_col)
+        tables = []
+        for f in files:
+            full = os.path.join(self.lake_dir, f)
+            # older-schema files may lack evolved columns; conform (in
+            # merge_runs) null-fills what the file doesn't have
+            avail = set(pq.read_schema(full).names)
+            tables.append(pq.read_table(
+                full, columns=[c for c in want if c in avail]))
+        if not tables:
+            return pa.schema([
+                pa.field("doc_id", pa.string()),
+                pa.field("sequence_number", pa.int64()),
+                pa.field(self.text_col, pa.string()),
+            ]).empty_table()
+        cols = [f for f in self.schema
+                if f.name in ("doc_id", "sequence_number", "op",
+                              self.text_col)]
+        return merge_runs(tables, drop_deletes=True,
+                          target_schema=pa.schema(cols))
+
+    def _signature_blobs(self, texts: pd.Series) -> List[bytes]:
+        from etl_ray.functions.text import normalize_for_fingerprint
+
+        sigs = self.hasher.signatures(normalize_for_fingerprint(texts))
+        buf = np.ascontiguousarray(sigs, dtype="<u8").tobytes()
+        w = sigs.shape[1] * 8
+        return [buf[i * w:(i + 1) * w] for i in range(sigs.shape[0])]
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        out = []
+        for row in batch.to_pylist():
+            part, files = row["part"], row["files"]
+            live = self._live(files).to_pandas()
+            live = live.sort_values("doc_id").reset_index(drop=True)
+            n_reused = 0
+            if row["old_sig_file"]:
+                old = pq.read_table(os.path.join(
+                    self.lake_dir, row["old_sig_file"])).to_pandas()
+                j = live.merge(old, on="doc_id", how="left",
+                               suffixes=("", "_old"))
+                same = (j["sequence_number_old"].to_numpy()
+                        == j["sequence_number"].to_numpy())
+                n_reused = int(same.sum())
+                sig = pd.Series([None] * len(j), dtype="object")
+                sig[same] = j["sig"][same]
+                todo = ~same
+            else:
+                j = live
+                sig = pd.Series([None] * len(j), dtype="object")
+                todo = np.ones(len(j), dtype=bool)
+            if todo.any():
+                sig[todo] = self._signature_blobs(
+                    live[self.text_col][todo])
+            rel = os.path.join(self.out_dir, f"part-{part:05d}.parquet")
+            full = os.path.join(self.lake_dir, rel)
+            os.makedirs(os.path.dirname(full), exist_ok=True)
+            t = pa.table({
+                "doc_id": pa.array(live["doc_id"], pa.string()),
+                "sequence_number": pa.array(
+                    live["sequence_number"].to_numpy(dtype="int64"),
+                    pa.int64()),
+                "sig": pa.array(list(sig), pa.binary()),
+            })
+            tmp = full + ".tmp"
+            pq.write_table(t, tmp)
+            os.replace(tmp, full)
+            out.append({"part": part, "file": rel, "n_docs": len(live),
+                        "n_recomputed": int(len(live) - n_reused),
+                        "n_reused": n_reused})
+        return pa.Table.from_pylist(out, schema=pa.schema([
+            pa.field("part", pa.int64()), pa.field("file", pa.string()),
+            pa.field("n_docs", pa.int64()),
+            pa.field("n_recomputed", pa.int64()),
+            pa.field("n_reused", pa.int64()),
+        ]))
+
+
+def _run_partitions(lake_dir: str, name: str, descs: List[dict],
+                    manifest: Manifest, carried: dict, params: dict) -> dict:
+    """Fan the dirty-partition descriptors out, then commit the meta that
+    maps every partition to its (new or carried-forward) signature file."""
+    from etl_ray.util import descriptor_dataset
+
+    out_dir = os.path.join("_views", name, f"v{manifest.version}")
+    stats = {"as_of": manifest.version, "n_parts": len(manifest.partitions),
+             "n_parts_dirty": len(descs), "n_recomputed": 0, "n_reused": 0,
+             "n_docs": 0}
+    files = dict(carried)
+    if descs:
+        res = descriptor_dataset(descs).map_batches(
+            _SigPartition(lake_dir, manifest.schema_hex, out_dir,
+                          params["text_col"], params["num_perm"],
+                          params["shingle_n"], params["seed"]),
+            batch_format="pyarrow", batch_size=1,
+        ).to_pandas()
+        for r in res.itertuples():
+            files[str(r.part)] = r.file
+            stats["n_recomputed"] += r.n_recomputed
+            stats["n_reused"] += r.n_reused
+            stats["n_docs"] += r.n_docs
+    meta = {"as_of_version": manifest.version, "files": files,
+            "partition_files": {
+                str(k): sorted(p.files)
+                for k, p in manifest.partitions.items()},
+            **params}
+    _write_meta(lake_dir, name, meta)
+    return stats
+
+
+def build_signature_index(lake_dir: str, *, name: str = "minhash_sigs",
+                          version: Optional[int] = None,
+                          text_col: str = "text", num_perm: int = 64,
+                          shingle_n: int = 3, seed: int = 97) -> dict:
+    """Full build at ``version`` (default: head) — the once-per-index cost;
+    afterwards ``refresh_signature_index`` is O(changes)."""
+    manifest = Manifest.load(lake_dir, version=version)
+    params = {"text_col": text_col, "num_perm": num_perm,
+              "shingle_n": shingle_n, "seed": seed}
+    descs = [{"part": int(k), "files": sorted(p.files), "old_sig_file": ""}
+             for k, p in sorted(manifest.partitions.items())
+             if p.files]
+    return _run_partitions(lake_dir, name, descs, manifest, {}, params)
+
+
+def refresh_signature_index(lake_dir: str, *,
+                            name: str = "minhash_sigs") -> dict:
+    """Advance the index to the lake head. Partitions whose live-file list
+    is unchanged since the index's as-of version are carried forward by
+    reference (not read); dirty partitions re-hash only docs whose winning
+    sequence_number changed."""
+    meta = _load_meta(lake_dir, name)
+    if meta is None:
+        raise FileNotFoundError(f"signature index {name} not built")
+    manifest = Manifest.load(lake_dir)
+    params = {k: meta[k] for k in
+              ("text_col", "num_perm", "shingle_n", "seed")}
+    if manifest.version == meta["as_of_version"]:
+        return {"as_of": manifest.version,
+                "n_parts": len(manifest.partitions), "n_parts_dirty": 0,
+                "n_recomputed": 0, "n_reused": 0, "n_docs": 0}
+    old_parts = meta.get("partition_files", {})
+    descs, carried = [], {}
+    for k, p in sorted(manifest.partitions.items()):
+        if not p.files:
+            continue
+        ks = str(k)
+        if sorted(p.files) == old_parts.get(ks) and ks in meta["files"]:
+            carried[ks] = meta["files"][ks]
+        else:
+            descs.append({"part": int(k), "files": sorted(p.files),
+                          "old_sig_file": meta["files"].get(ks, "")})
+    return _run_partitions(lake_dir, name, descs, manifest, carried, params)
+
+
+def read_signature_index(lake_dir: str, *, name: str = "minhash_sigs"):
+    """The maintained index as a Dataset of (doc_id, sequence_number, sig
+    binary blob) — the join-ready shape for LSH banding or pair checks."""
+    import ray.data as rd
+
+    meta = _load_meta(lake_dir, name)
+    if meta is None:
+        raise FileNotFoundError(f"signature index {name} not built")
+    paths = [os.path.join(lake_dir, f)
+             for _, f in sorted(meta["files"].items())]
+    if not paths:
+        return rd.from_arrow(pa.table({
+            "doc_id": pa.array([], pa.string()),
+            "sequence_number": pa.array([], pa.int64()),
+            "sig": pa.array([], pa.binary()),
+        }))
+    return rd.read_parquet(paths)
+
+
+def signatures_long(lake_dir: str, *, name: str = "minhash_sigs"):
+    """Index exploded to (doc_id, perm, m) — the comparison shape shared
+    with the SQL oracle (one row per permutation, m < 2^61 fits int64)."""
+    meta = _load_meta(lake_dir, name)
+    num_perm = meta["num_perm"] if meta else 64
+
+    def explode(t: pa.Table) -> pa.Table:
+        n = len(t)
+        if n == 0:
+            return pa.table({"doc_id": pa.array([], pa.string()),
+                             "perm": pa.array([], pa.int32()),
+                             "m": pa.array([], pa.int64())})
+        blob = b"".join(t["sig"].to_pylist())
+        m = np.frombuffer(blob, dtype="<u8").astype(np.int64)
+        ids = np.repeat(t["doc_id"].to_numpy(zero_copy_only=False), num_perm)
+        perm = np.tile(np.arange(num_perm, dtype=np.int32), n)
+        return pa.table({"doc_id": pa.array(ids, pa.string()),
+                         "perm": pa.array(perm), "m": pa.array(m)})
+
+    return read_signature_index(lake_dir, name=name).map_batches(
+        explode, batch_format="pyarrow")

@@ -116,6 +116,60 @@ def fresh_dirs(tag: str):
     return os.path.join(root, "wal"), os.path.join(root, "lake")
 
 
+def docs_to_changelog(sf_dir: str, out_dir: str) -> list:
+    """Deterministically derive a 3-segment WAL from the documents table,
+    with real update/delete churn so incremental consumers have something
+    to maintain: segment 0 inserts every doc (seq=doc_id); segment 1
+    updates every doc_id % 5 == 0 to the NEXT doc's text (seq=N+doc_id);
+    segment 2 deletes every doc_id % 7 == 0 (seq=2N+doc_id). The final
+    state is closed-form, so a SQL oracle reconstructs it from the
+    documents view alone. Pure-pyarrow harness adapter (test-scale input),
+    not an engine path."""
+    t = pq.read_table(os.path.join(sf_dir, "documents.parquet"),
+                      columns=["doc_id", "text"])
+    t = t.sort_by([("doc_id", "ascending")])
+    ids = t["doc_id"].to_numpy()
+    texts = t["text"].to_pandas()
+    n = len(ids)
+
+    # the closed-form oracle indexes by (doc_id + 1) % n — valid only for
+    # the testdata's contiguous 0..n-1 ids, so pin that assumption here
+    assert (ids == np.arange(n)).all(), "documents doc_id not contiguous"
+
+    def seg_table(op, which, seq_base, txt):
+        return pa.table({
+            "op": pa.array(np.repeat(op, int(which.sum()))),
+            "doc_id": pa.array(ids[which].astype(str), pa.string()),
+            "sequence_number": pa.array(ids[which] + seq_base, pa.int64()),
+            "text": txt if isinstance(txt, pa.Array)
+            else pa.array(txt, pa.string()),
+        })
+
+    all_mask = np.ones(n, dtype=bool)
+    upd = (ids % 5) == 0
+    dele = (ids % 7) == 0
+    nxt = texts.iloc[(ids[upd] + 1) % n].to_numpy()
+    segs = [
+        seg_table("insert", all_mask, 0, texts.to_numpy()),
+        seg_table("update", upd, n, nxt),
+        seg_table("delete", dele, 2 * n,
+                  pa.nulls(int(dele.sum()), pa.string())),
+    ]
+    os.makedirs(out_dir, exist_ok=True)
+    paths = []
+    for i, seg in enumerate(segs):
+        p = os.path.join(out_dir, f"seg-{i:05d}.parquet")
+        pq.write_table(seg, p)
+        paths.append(p)
+    return paths
+
+
+def docs_payload() -> PayloadSpec:
+    """Payload spec for the documents-derived changelog (text only)."""
+    return PayloadSpec(name="docs", payload_schema=pa.schema(
+        [pa.field("text", pa.string())]))
+
+
 def lake_final_state(lake_dir: str) -> pd.DataFrame:
     """(doc_id, last_seq, value, event_type) sorted — the comparison shape
     shared with the SQL oracle."""
