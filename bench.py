@@ -231,6 +231,30 @@ def run_bench() -> dict:
         queries["text_quality"] = timed_op(lambda: quality_scores(
             rd.read_parquet(docs_path, columns=["doc_id", "text"])).count())
 
+        # incremental dedup-index maintenance: full build at v1 vs a
+        # delta refresh after the update/delete commits. Single timed
+        # runs (a second refresh is a no-op) — the headline is the
+        # build:refresh ratio, the O(corpus) vs O(changes) evidence.
+        from etl_ray.ops.dedup_ivm import (build_signature_index,
+                                           refresh_signature_index)
+        from etl_ray.pipelines import analogs as A
+
+        wal2, lake2 = A.fresh_dirs("benchsig")
+        A.docs_to_changelog(SF_DIR, wal2)
+        cfg2 = EngineConfig(num_partitions=cfg.num_partitions,
+                            apply_concurrency=None,
+                            payload=A.docs_payload())
+        replay(wal2, lake2, cfg2, segments_per_commit=1)
+        t0 = time.monotonic()
+        build_signature_index(lake2, version=1)
+        queries["sig_index_build"] = round(time.monotonic() - t0, 3)
+        t0 = time.monotonic()
+        s = refresh_signature_index(lake2)
+        queries["sig_index_refresh"] = round(time.monotonic() - t0, 3)
+        queries["sig_index_refresh_frac_rehashed"] = round(
+            s["n_recomputed"] / max(s["n_docs"], 1), 4)
+        shutil.rmtree(os.path.dirname(lake2), ignore_errors=True)
+
     if os.path.exists(emb_path):
         import numpy as np
         import pyarrow.parquet as pq

@@ -197,7 +197,13 @@ class MinHasher:
         self.id_col = id_col
 
     def _minhash(self, sh: np.ndarray) -> np.ndarray:
-        """(S,) shingle hashes → (P,) signature."""
+        """(S,) shingle hashes → (P,) signature.
+
+        The permutation family is ((a*s + b) mod 2**64) mod M — the
+        product deliberately WRAPS in uint64 (numpy single-word
+        arithmetic, no 128-bit widening in the hot path). The SQL oracle
+        reproduces the wrap bit-for-bit (HUGEINT % 2^64 % M), so
+        signatures — not just candidate pairs — are cross-engine exact."""
         v = (self.a[:, None] * (sh[None, :] % MERSENNE) + self.b[:, None]) \
             % MERSENNE
         return v.min(axis=1)
