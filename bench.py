@@ -251,8 +251,11 @@ def run_bench() -> dict:
         t0 = time.monotonic()
         s = refresh_signature_index(lake2)
         queries["sig_index_refresh"] = round(time.monotonic() - t0, 3)
+        # fraction of the WHOLE index re-hashed (s["n_docs"] counts only
+        # dirty partitions; carried-forward partitions contribute 0 work)
+        n_index = read_lake(lake2).count()
         queries["sig_index_refresh_frac_rehashed"] = round(
-            s["n_recomputed"] / max(s["n_docs"], 1), 4)
+            s["n_recomputed"] / max(n_index, 1), 6)
         shutil.rmtree(os.path.dirname(lake2), ignore_errors=True)
 
     if os.path.exists(emb_path):

@@ -211,14 +211,18 @@ def repetition_scores(ds, *, id_col: str = "doc_id", text_col: str = "text"):
             ["r", "g"], sort=False).size()
         rows = c.index.get_level_values(0).to_numpy()
         byrow = c.groupby(rows)
-        idx = byrow.max().index.to_numpy()
-        out[idx, 0] = byrow.max().to_numpy()
+        mx = byrow.max()
+        idx = mx.index.to_numpy()
+        out[idx, 0] = mx.to_numpy()
         out[idx, 1] = byrow.sum().to_numpy()
         out[idx, 2] = byrow.size().to_numpy()
         return out
 
     def f(df: pd.DataFrame) -> pd.DataFrame:
-        df = df.reset_index(drop=True)
+        # null text has no tokens to score — drop it BEFORE astype(str)
+        # turns it into a literal 'None' token (matches the oracle's
+        # NULL/empty exclusion)
+        df = df[df[text_col].notna()].reset_index(drop=True)
         toks = df[text_col].astype(str).str.split().explode().dropna()
         toks = toks[toks != ""]
         empty = pd.DataFrame({

@@ -32,6 +32,7 @@ import pyarrow as pa
 from etl_ray.schema import schema_from_hex, schema_to_hex
 
 MANIFEST_DIR = "_manifest"
+VIEWS_DIR = "_views"
 
 
 @dataclass
@@ -212,6 +213,12 @@ class Manifest:
                 full = os.path.join(root, fn)
                 rel = os.path.relpath(full, self.lake_dir)
                 if rel.startswith(MANIFEST_DIR):
+                    continue
+                # maintained secondary state (IVM views, signature
+                # indexes) lives under _views/ with its own meta/versioning
+                # — it references lake versions, the manifest never
+                # references IT, so the liveness walk must not touch it
+                if rel.startswith(VIEWS_DIR):
                     continue
                 if not fn.endswith(".parquet"):
                     continue

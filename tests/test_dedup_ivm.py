@@ -111,11 +111,29 @@ def test_clean_partitions_carried_forward_by_reference(ray_session):
 
 
 def test_signatures_long_matches_blobs(lake):
-    from etl_ray.ops.dedup_ivm import read_signature_index
+    from etl_ray.ops.dedup_ivm import (build_signature_index,
+                                       read_signature_index)
 
-    wide = read_signature_index(lake, name="full").to_pandas()
-    long = _long(lake, "full")
+    build_signature_index(lake, name="blob")  # own index: order-independent
+    wide = read_signature_index(lake, name="blob").to_pandas()
+    long = _long(lake, "blob")
     row = wide.iloc[0]
     m = np.frombuffer(row["sig"], dtype="<u8").astype(np.int64)
     got = long[long.doc_id == row["doc_id"]].sort_values("perm")["m"]
     assert got.tolist() == m.tolist()
+
+
+def test_gc_preserves_signature_index(lake):
+    # the index's parquet files live under the lake but are versioned by
+    # the index meta, not the manifest — gc/prune must not collect them
+    from etl_ray.ops.dedup_ivm import build_signature_index
+    from etl_ray.state.manifest import Manifest
+
+    build_signature_index(lake, name="gc")
+    m = Manifest.load(lake)
+    removed = m.gc()
+    assert not any("_views" in p for p in removed)
+    before = _long(lake, "gc")
+    m.prune(keep_last=1)
+    after = _long(lake, "gc")
+    pd.testing.assert_frame_equal(before, after)
