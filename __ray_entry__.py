@@ -2464,59 +2464,85 @@ def _q_multimodal_real(sf_dir: str):
 
     ds = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
                          columns=["doc_id"])
-
-    def synth(t):
-        import numpy as np
-        import pyarrow as pa
-
-        payloads = []
-        for d in t["doc_id"].to_pylist():
-            w, h = d % 16 + 1, d % 8 + 1
-            a, b = (d * 7) % 256, d % 251
-            if d % 17 == 0:
-                payloads.append(b"\xff\xd8corrupt-jpeg")
-                continue
-            if d % 3 == 0:  # BMP, 24-bit, bottom-up, padded rows
-                px = np.full((h, w, 3), b, np.uint8)
-                px[0, 0, 0] = a
-                stride = (w * 3 + 3) & ~3
-                rows = np.zeros((h, stride), np.uint8)
-                rows[:, : w * 3] = px[::-1, :, ::-1].reshape(h, w * 3)
-                body = rows.tobytes()
-                header = (b"BM" + (54 + len(body)).to_bytes(4, "little")
-                          + b"\x00\x00\x00\x00" + (54).to_bytes(4, "little")
-                          + (40).to_bytes(4, "little")
-                          + w.to_bytes(4, "little", signed=True)
-                          + h.to_bytes(4, "little", signed=True)
-                          + (1).to_bytes(2, "little")
-                          + (24).to_bytes(2, "little")
-                          + (0).to_bytes(4, "little") + b"\x00" * 20)
-                payloads.append(header + body)
-                continue
-            c = 3 if d % 2 == 0 else 1
-            px = np.full(w * h * c, b, np.uint8)
-            px[0] = a
-            if d % 5 == 0:  # PNG (stdlib-zlib decode path), filters 0-4
-                from etl_ray.ops.multimodal import encode_png
-
-                payloads.append(encode_png(
-                    px.reshape(h, w, c), filter_type=(d // 5) % 5))
-                continue
-            magic = b"P6" if c == 3 else b"P5"
-            payloads.append(magic + b"\n# synth\n"
-                            + f"{w} {h}\n255\n".encode() + px.tobytes())
-        pay = pa.array(payloads, pa.binary())
-        return pa.table({
-            "doc_id": t["doc_id"],
-            "payload": pay,
-            "media_type": pa.array(["image/x-synth"] * len(t)),
-            "payload_bytes": pa.compute.binary_length(pay).cast(pa.int64()),
-        })
-
-    out = decode_images(ds.map_batches(synth, batch_format="pyarrow"),
+    out = decode_images(ds.map_batches(_synth_images, batch_format="pyarrow"),
                         decoder=RealImageDecoder, concurrency=2).to_pandas()
     out["decoded_ok"] = out["decode_error"].isna()
     out = out.drop(columns=["decode_error", "payload_bytes"])
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+def _synth_images(t):
+    """Deterministic per-doc image payloads (PPM/PGM/BMP/PNG mix, constant
+    ``b`` with one ``a`` pixel at the origin; doc_id % 17 == 0 corrupt) —
+    shared by the decode and resize queries; pixel means stay closed-form
+    for the SQL oracles."""
+    import numpy as np
+    import pyarrow as pa
+
+    payloads = []
+    for d in t["doc_id"].to_pylist():
+        w, h = d % 16 + 1, d % 8 + 1
+        a, b = (d * 7) % 256, d % 251
+        if d % 17 == 0:
+            payloads.append(b"\xff\xd8corrupt-jpeg")
+            continue
+        if d % 3 == 0:  # BMP, 24-bit, bottom-up, padded rows
+            px = np.full((h, w, 3), b, np.uint8)
+            px[0, 0, 0] = a
+            stride = (w * 3 + 3) & ~3
+            rows = np.zeros((h, stride), np.uint8)
+            rows[:, : w * 3] = px[::-1, :, ::-1].reshape(h, w * 3)
+            body = rows.tobytes()
+            header = (b"BM" + (54 + len(body)).to_bytes(4, "little")
+                      + b"\x00\x00\x00\x00" + (54).to_bytes(4, "little")
+                      + (40).to_bytes(4, "little")
+                      + w.to_bytes(4, "little", signed=True)
+                      + h.to_bytes(4, "little", signed=True)
+                      + (1).to_bytes(2, "little")
+                      + (24).to_bytes(2, "little")
+                      + (0).to_bytes(4, "little") + b"\x00" * 20)
+            payloads.append(header + body)
+            continue
+        c = 3 if d % 2 == 0 else 1
+        px = np.full(w * h * c, b, np.uint8)
+        px[0] = a
+        if d % 5 == 0:  # PNG (stdlib-zlib decode path), filters 0-4
+            from etl_ray.ops.multimodal import encode_png
+
+            payloads.append(encode_png(
+                px.reshape(h, w, c), filter_type=(d // 5) % 5))
+            continue
+        magic = b"P6" if c == 3 else b"P5"
+        payloads.append(magic + b"\n# synth\n"
+                        + f"{w} {h}\n255\n".encode() + px.tobytes())
+    pay = pa.array(payloads, pa.binary())
+    return pa.table({
+        "doc_id": t["doc_id"],
+        "payload": pay,
+        "media_type": pa.array(["image/x-synth"] * len(t)),
+        "payload_bytes": pa.compute.binary_length(pay).cast(pa.int64()),
+    })
+
+
+def _q_multimodal_resize(sf_dir: str):
+    """Decode → pixel-center nearest-neighbor resize (to 5x4) → PNG
+    re-encode, as an actor/task-pool stage (ops/multimodal.py
+    ImageResizer). The sampled-grid arithmetic is all-integer, so the SQL
+    oracle reproduces the resized image's exact pixel mean in closed form
+    (the origin pixel ``a`` lands in n0r x n0c output cells, everything
+    else is ``b``). Corrupt payloads surface decoded_ok = FALSE with
+    zeroed dims."""
+    import ray.data as rd
+
+    from etl_ray.ops.multimodal import ImageResizer, decode_images
+
+    ds = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                         columns=["doc_id"])
+    out = decode_images(ds.map_batches(_synth_images, batch_format="pyarrow"),
+                        decoder=ImageResizer(out_h=4, out_w=5),
+                        concurrency=2).to_pandas()
+    out["decoded_ok"] = out["decode_error"].isna()
+    out = out.drop(columns=["decode_error", "payload", "payload_bytes"])
     return out.sort_values("doc_id").reset_index(drop=True)
 
 
@@ -2641,6 +2667,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pack_sequences": _q_pack_sequences,
         "multimodal_decode": _q_multimodal,
         "multimodal_real_decode": _q_multimodal_real,
+        "multimodal_resize": _q_multimodal_resize,
     }
 
 
@@ -2831,6 +2858,35 @@ SELECT doc_id,
             ELSE (a + (w * h * c - 1) * b) / (w * h * c) END AS mean_luma,
        c <> 0 AS decoded_ok
 FROM p ORDER BY doc_id
+""",
+        "multimodal_resize": """
+WITH p AS (
+  SELECT doc_id,
+         doc_id % 16 + 1 AS w, doc_id % 8 + 1 AS h,
+         (doc_id * 7) % 256 AS a, doc_id % 251 AS b,
+         CASE WHEN doc_id % 17 = 0 THEN 0
+              WHEN doc_id % 3 = 0 THEN 3
+              WHEN doc_id % 2 = 0 THEN 3 ELSE 1 END AS c
+  FROM documents
+), n0 AS (
+  -- pixel-center NN sampling: output cell i reads source index
+  -- (2i+1)*in // (2*out); the origin pixel is sampled where that is 0
+  SELECT doc_id,
+         len(list_filter(generate_series(0, 3),
+                         i -> (2 * i + 1) * h < 2 * 4)) AS n0r,
+         len(list_filter(generate_series(0, 4),
+                         i -> (2 * i + 1) * w < 2 * 5)) AS n0c
+  FROM p
+)
+SELECT p.doc_id,
+       CASE WHEN c = 0 THEN 0 ELSE 5 END AS width,
+       CASE WHEN c = 0 THEN 0 ELSE 4 END AS height,
+       c AS channels,
+       CASE WHEN c = 0 THEN 0.0
+            ELSE (b * (4 * 5 * c) + (a - b) * n0r * n0c)
+                 / CAST(4 * 5 * c AS DOUBLE) END AS mean_luma,
+       c <> 0 AS decoded_ok
+FROM p JOIN n0 USING (doc_id) ORDER BY p.doc_id
 """,
         "ndt7_scrub": """
 WITH c AS (

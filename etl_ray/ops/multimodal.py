@@ -353,3 +353,64 @@ def frame_sample(ds, *, every_nth: int = 10, id_col: str = "doc_id"):
         return batch.take(pa.array(idx))
 
     return ds.map_batches(f, batch_format="pyarrow")
+
+
+def resize_nearest(img: np.ndarray, out_h: int, out_w: int) -> np.ndarray:
+    """Pixel-center nearest-neighbor resize: src row for output row i is
+    floor((i + 0.5) * in_h / out_h), all-integer index math
+    ((2i+1)*in // 2*out) — no float rounding, so a SQL oracle reproduces
+    the sampled grid exactly. Works for (H, W) and (H, W, C) uint8."""
+    h, w = img.shape[:2]
+    ri = ((np.arange(out_h, dtype=np.int64) * 2 + 1) * h) // (2 * out_h)
+    ci = ((np.arange(out_w, dtype=np.int64) * 2 + 1) * w) // (2 * out_w)
+    return img[ri][:, ci]
+
+
+class ImageResizer:
+    """Actor-pool resize stage: decode → nearest-neighbor resize →
+    re-encode PNG. Corrupt payloads surface ``decode_error`` with zeroed
+    dims (the standard quarantine contract) instead of failing the task.
+    Output: (doc_id, width, height, channels, mean_luma, payload,
+    payload_bytes, decode_error) where mean_luma is the EXACT integer
+    pixel mean of the RESIZED image (one double division,
+    SQL-reproducible) and payload is the re-encoded PNG."""
+
+    def __init__(self, out_h: int = 4, out_w: int = 5,
+                 filter_type: int = 0):
+        self.out_h = out_h
+        self.out_w = out_w
+        self.filter_type = filter_type
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        payloads = batch["payload"].to_pylist()
+        n = len(payloads)
+        w = np.zeros(n, np.int64)
+        h = np.zeros(n, np.int64)
+        c = np.zeros(n, np.int64)
+        luma = np.zeros(n, np.float64)
+        out_pay: list = [None] * n
+        errs: list = [None] * n
+        for i, p in enumerate(payloads):
+            try:
+                img = decode_image(p or b"")
+            except ValueError as ex:
+                errs[i] = str(ex)
+                continue
+            if img.ndim == 2:
+                img = img[:, :, None]
+            r = resize_nearest(img, self.out_h, self.out_w)
+            h[i], w[i], c[i] = r.shape
+            luma[i] = float(int(r.sum(dtype=np.int64))) / r.size
+            out_pay[i] = encode_png(r, filter_type=self.filter_type)
+        pay = pa.array(out_pay, pa.binary())
+        return pa.table({
+            "doc_id": batch["doc_id"],
+            "width": pa.array(w),
+            "height": pa.array(h),
+            "channels": pa.array(c),
+            "mean_luma": pa.array(luma),
+            "payload": pay,
+            "payload_bytes": pa.compute.fill_null(
+                pa.compute.binary_length(pay).cast(pa.int64()), 0),
+            "decode_error": pa.array(errs, pa.string()),
+        })

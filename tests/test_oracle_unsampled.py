@@ -28,6 +28,7 @@ UNSAMPLED = [
     "grouped_hll",
     "hopping_window",
     "multimodal_real_decode",
+    "multimodal_resize",
     "ndt5_scrub",
     "ndt7_scrub",
     "ndt_group_deltas",

@@ -102,3 +102,38 @@ def test_decoder_stage_handles_png(ray_session):
     assert np.allclose(ok.mean_luma, exp_means)
     bad = out[out.doc_id == 99].iloc[0]
     assert bad.decode_error is not None and bad.width == 0
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_resize_nearest_grid_and_stage():
+    import numpy as np
+    import pyarrow as pa
+
+    from etl_ray.ops.multimodal import (ImageResizer, decode_image,
+                                        encode_png, resize_nearest)
+
+    # pixel-center mapping, hand-computed: 4 -> 2 samples rows/cols 1, 3
+    img = np.arange(48, dtype=np.uint8).reshape(4, 4, 3)
+    r = resize_nearest(img, 2, 2)
+    assert r[:, :, 0].tolist() == [[15, 21], [39, 45]]
+    # upscale: 1x1 -> 3x3 replicates the single pixel
+    one = np.full((1, 1, 1), 7, np.uint8)
+    assert (resize_nearest(one, 3, 3) == 7).all()
+
+    # the stage: decode -> resize -> PNG re-encode round-trips exactly,
+    # corrupt payload surfaces decode_error with zeroed dims
+    ppm = b"P5\n4 4\n255\n" + bytes(range(16))
+    batch = pa.table({
+        "doc_id": pa.array([1, 2], pa.int64()),
+        "payload": pa.array([ppm, b"\xff\xd8junk"], pa.binary()),
+    })
+    out = ImageResizer(out_h=2, out_w=2)(batch)
+    assert out["width"].to_pylist() == [2, 0]
+    assert out["decode_error"].to_pylist()[0] is None
+    assert out["decode_error"].to_pylist()[1] is not None
+    back = decode_image(out["payload"].to_pylist()[0])
+    src = np.frombuffer(bytes(range(16)), np.uint8).reshape(4, 4, 1)
+    assert (back == resize_nearest(src, 2, 2)).all()
+    # exact integer mean contract
+    exp = resize_nearest(src, 2, 2)
+    assert out["mean_luma"].to_pylist()[0] == int(exp.sum()) / exp.size
