@@ -2546,6 +2546,57 @@ def _q_multimodal_resize(sf_dir: str):
     return out.sort_values("doc_id").reset_index(drop=True)
 
 
+def _q_multimodal_audio(sf_dir: str):
+    """REAL audio decode, no codec library: synthesize a deterministic
+    RIFF/WAVE PCM16 payload per document inside map_batches (constant
+    amplitude ``b`` with one ``a`` sample, mono/stereo mix, chunk-walking
+    exercised via an extra LIST chunk), decode with the pure-numpy
+    AudioFeatures pool and verify rate/channels/exact integer means
+    against SQL. doc_id % 17 == 0 payloads are corrupt → decoded_ok FALSE,
+    zeroed fields."""
+    import ray.data as rd
+
+    from etl_ray.ops.multimodal import AudioFeatures, decode_images
+
+    ds = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                         columns=["doc_id"])
+
+    def synth(t):
+        import numpy as np
+        import pyarrow as pa
+
+        from etl_ray.ops.multimodal import encode_wav
+
+        payloads = []
+        for d in t["doc_id"].to_pylist():
+            if d % 17 == 0:
+                payloads.append(b"ID3corrupt-mp3")
+                continue
+            ns = d % 32 + 4
+            c = 2 if d % 4 == 0 else 1
+            rate = 8000 + (d % 3) * 4000
+            a = (d * 29) % 2000 - 1000
+            b = (d * 13) % 1000 - 500
+            s = np.full(ns * c, b, np.int16)
+            s[0] = a
+            wav = encode_wav(s, sample_rate=rate, channels=c)
+            if d % 5 == 0:  # exercise the chunk walker: LIST before data
+                extra = b"LIST" + (4).to_bytes(4, "little") + b"INFO"
+                wav = wav[:36] + extra + wav[36:]
+                wav = wav[:4] + (len(wav) - 8).to_bytes(4, "little") + wav[8:]
+            payloads.append(wav)
+        return pa.table({
+            "doc_id": t["doc_id"],
+            "payload": pa.array(payloads, pa.binary()),
+        })
+
+    out = decode_images(ds.map_batches(synth, batch_format="pyarrow"),
+                        decoder=AudioFeatures(), concurrency=2).to_pandas()
+    out["decoded_ok"] = out["decode_error"].isna()
+    out = out.drop(columns=["decode_error"])
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
 def _q_multimodal(sf_dir: str):
     import ray.data as rd
 
@@ -2668,6 +2719,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "multimodal_decode": _q_multimodal,
         "multimodal_real_decode": _q_multimodal_real,
         "multimodal_resize": _q_multimodal_resize,
+        "multimodal_audio": _q_multimodal_audio,
     }
 
 
@@ -2887,6 +2939,30 @@ SELECT p.doc_id,
                  / CAST(4 * 5 * c AS DOUBLE) END AS mean_luma,
        c <> 0 AS decoded_ok
 FROM p JOIN n0 USING (doc_id) ORDER BY p.doc_id
+""",
+        "multimodal_audio": """
+WITH p AS (
+  SELECT doc_id,
+         doc_id % 32 + 4 AS ns,
+         CASE WHEN doc_id % 4 = 0 THEN 2 ELSE 1 END AS c,
+         8000 + (doc_id % 3) * 4000 AS rate,
+         (doc_id * 29) % 2000 - 1000 AS a,
+         (doc_id * 13) % 1000 - 500 AS b,
+         doc_id % 17 = 0 AS corrupt
+  FROM documents
+), t AS (SELECT *, ns * c AS total FROM p)
+SELECT doc_id,
+       CASE WHEN corrupt THEN 0 ELSE rate END AS sample_rate,
+       CASE WHEN corrupt THEN 0 ELSE c END AS channels,
+       CASE WHEN corrupt THEN 0 ELSE ns END AS n_samples,
+       CASE WHEN corrupt THEN 0.0
+            ELSE (a + (total - 1) * b) / CAST(total AS DOUBLE)
+       END AS mean_amp,
+       CASE WHEN corrupt THEN 0.0
+            ELSE (a * a + (total - 1) * b * b) / CAST(total AS DOUBLE)
+       END AS mean_square,
+       NOT corrupt AS decoded_ok
+FROM t ORDER BY doc_id
 """,
         "ndt7_scrub": """
 WITH c AS (

@@ -414,3 +414,90 @@ class ImageResizer:
                 pa.compute.binary_length(pay).cast(pa.int64()), 0),
             "decode_error": pa.array(errs, pa.string()),
         })
+
+
+# ---------------------------------------------------------------- audio
+def encode_wav(samples: np.ndarray, *, sample_rate: int = 8000,
+               channels: int = 1) -> bytes:
+    """Minimal RIFF/WAVE PCM16 writer (interleaved int16 samples)."""
+    body = np.ascontiguousarray(samples, dtype="<i2").tobytes()
+    block = 2 * channels
+    hdr = (b"RIFF" + (36 + len(body)).to_bytes(4, "little") + b"WAVE"
+           + b"fmt " + (16).to_bytes(4, "little")
+           + (1).to_bytes(2, "little")                   # PCM
+           + channels.to_bytes(2, "little")
+           + sample_rate.to_bytes(4, "little")
+           + (sample_rate * block).to_bytes(4, "little")
+           + block.to_bytes(2, "little")
+           + (16).to_bytes(2, "little")
+           + b"data" + len(body).to_bytes(4, "little"))
+    return hdr + body
+
+
+def decode_wav(b: bytes):
+    """RIFF/WAVE PCM16 → (sample_rate, channels, int16 sample array).
+    Chunk-walks the container (fmt may be followed by LIST/fact chunks);
+    anything that is not canonical PCM16 raises ValueError into the
+    standard quarantine path."""
+    if len(b) < 44 or b[:4] != b"RIFF" or b[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload")
+    pos, fmt, data = 12, None, None
+    while pos + 8 <= len(b):
+        cid = b[pos:pos + 4]
+        sz = int.from_bytes(b[pos + 4:pos + 8], "little")
+        body = b[pos + 8:pos + 8 + sz]
+        if cid == b"fmt ":
+            fmt = body
+        elif cid == b"data":
+            data = body
+        pos += 8 + sz + (sz & 1)  # chunks are word-aligned
+    if fmt is None or data is None:
+        raise ValueError("missing fmt/data chunk")
+    audio_format = int.from_bytes(fmt[0:2], "little")
+    channels = int.from_bytes(fmt[2:4], "little")
+    rate = int.from_bytes(fmt[4:8], "little")
+    bits = int.from_bytes(fmt[14:16], "little")
+    if audio_format != 1 or bits != 16 or channels < 1:
+        raise ValueError(f"unsupported wav: fmt={audio_format} bits={bits}")
+    n = len(data) // 2
+    return rate, channels, np.frombuffer(data[:n * 2], dtype="<i2")
+
+
+class AudioFeatures:
+    """Actor-pool audio stage: WAV decode → per-payload features
+    (sample_rate, channels, n_samples per channel, exact integer mean
+    amplitude and sum of squares → one double division each, so a SQL
+    oracle reproduces them bit-for-bit). Corrupt payloads surface
+    ``decode_error`` with zeroed fields — the quarantine contract."""
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        payloads = batch["payload"].to_pylist()
+        n = len(payloads)
+        rate = np.zeros(n, np.int64)
+        ch = np.zeros(n, np.int64)
+        ns = np.zeros(n, np.int64)
+        mean = np.zeros(n, np.float64)
+        rms = np.zeros(n, np.float64)
+        errs: list = [None] * n
+        for i, p in enumerate(payloads):
+            try:
+                r, c, s = decode_wav(p or b"")
+            except ValueError as ex:
+                errs[i] = str(ex)
+                continue
+            rate[i], ch[i] = r, c
+            ns[i] = len(s) // c
+            if len(s):
+                tot = int(s.sum(dtype=np.int64))
+                sq = int((s.astype(np.int64) ** 2).sum())
+                mean[i] = float(tot) / len(s)
+                rms[i] = float(sq) / len(s)  # mean square (sqrt-free: exact)
+        return pa.table({
+            "doc_id": batch["doc_id"],
+            "sample_rate": pa.array(rate),
+            "channels": pa.array(ch),
+            "n_samples": pa.array(ns),
+            "mean_amp": pa.array(mean),
+            "mean_square": pa.array(rms),
+            "decode_error": pa.array(errs, pa.string()),
+        })

@@ -29,6 +29,7 @@ UNSAMPLED = [
     "hopping_window",
     "multimodal_real_decode",
     "multimodal_resize",
+    "multimodal_audio",
     "ndt5_scrub",
     "ndt7_scrub",
     "ndt_group_deltas",

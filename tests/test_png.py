@@ -137,3 +137,34 @@ def test_resize_nearest_grid_and_stage():
     # exact integer mean contract
     exp = resize_nearest(src, 2, 2)
     assert out["mean_luma"].to_pylist()[0] == int(exp.sum()) / exp.size
+
+
+def test_wav_chunk_walker_and_features():
+    import numpy as np
+    import pyarrow as pa
+
+    from etl_ray.ops.multimodal import AudioFeatures, decode_wav, encode_wav
+
+    s = np.array([5, 5, 5, -7], np.int16)
+    wav = encode_wav(s, sample_rate=8000, channels=2)
+    # odd-sized chunk before data: the walker must word-align past it
+    extra = b"LIST" + (3).to_bytes(4, "little") + b"IN\x00" + b"\x00"
+    wav2 = wav[:36] + extra + wav[36:]
+    wav2 = wav2[:4] + (len(wav2) - 8).to_bytes(4, "little") + wav2[8:]
+    r, c, back = decode_wav(wav2)
+    assert (r, c) == (8000, 2) and (back == s).all()
+
+    out = AudioFeatures()(pa.table({
+        "doc_id": pa.array([1, 2], pa.int64()),
+        "payload": pa.array([wav, b"OggScorrupt"], pa.binary()),
+    }))
+    assert out["n_samples"].to_pylist() == [2, 0]  # per channel
+    assert out["mean_amp"].to_pylist()[0] == (5 + 5 + 5 - 7) / 4
+    assert out["mean_square"].to_pylist()[0] == (25 * 3 + 49) / 4
+    assert out["decode_error"].to_pylist()[1] is not None
+    # non-PCM and wrong-bit-depth rejections
+    bad = bytearray(encode_wav(s))
+    bad[20] = 3  # float format
+    import pytest as _pt
+    with _pt.raises(ValueError):
+        decode_wav(bytes(bad))
