@@ -2597,6 +2597,48 @@ def _q_multimodal_audio(sf_dir: str):
     return out.sort_values("doc_id").reset_index(drop=True)
 
 
+def _q_multimodal_video(sf_dir: str):
+    """Video plumbing: synthesize a deterministic frame container per doc
+    (VID0 index + PNG frames, constant-luma frames), demux the index,
+    decode ONLY every 4th frame plus the last (skipped frames are never
+    PNG-decoded — the sampling decision costs an index read, not a
+    decode), 1→N fan-out inside map_batches. Corrupt containers
+    (doc_id % 17 == 0) surface one decoded_ok = FALSE row."""
+    import ray.data as rd
+
+    from etl_ray.ops.multimodal import VideoFrameSampler, decode_images
+
+    ds = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                         columns=["doc_id"])
+
+    def synth(t):
+        import numpy as np
+        import pyarrow as pa
+
+        from etl_ray.ops.multimodal import encode_video
+
+        payloads = []
+        for d in t["doc_id"].to_pylist():
+            if d % 17 == 0:
+                payloads.append(b"\x00\x00\x00\x01not-a-container")
+                continue
+            nf, h, w = d % 9 + 2, d % 4 + 1, d % 5 + 1
+            frames = [np.full((h, w, 1), (d * 7 + j * 11) % 256, np.uint8)
+                      for j in range(nf)]
+            payloads.append(encode_video(frames, fps=5 + d % 3))
+        return pa.table({
+            "doc_id": t["doc_id"],
+            "payload": pa.array(payloads, pa.binary()),
+        })
+
+    out = decode_images(ds.map_batches(synth, batch_format="pyarrow"),
+                        decoder=VideoFrameSampler(every_nth=4),
+                        concurrency=2).to_pandas()
+    out["decoded_ok"] = out["decode_error"].isna()
+    out = out.drop(columns=["decode_error"])
+    return out.sort_values(["doc_id", "frame_idx"]).reset_index(drop=True)
+
+
 def _q_multimodal(sf_dir: str):
     import ray.data as rd
 
@@ -2720,6 +2762,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "multimodal_real_decode": _q_multimodal_real,
         "multimodal_resize": _q_multimodal_resize,
         "multimodal_audio": _q_multimodal_audio,
+        "multimodal_video": _q_multimodal_video,
     }
 
 
@@ -2963,6 +3006,28 @@ SELECT doc_id,
        END AS mean_square,
        NOT corrupt AS decoded_ok
 FROM t ORDER BY doc_id
+""",
+        "multimodal_video": """
+WITH p AS (
+  SELECT doc_id, doc_id % 9 + 2 AS nf, 5 + doc_id % 3 AS fps,
+         doc_id % 4 + 1 AS h, doc_id % 5 + 1 AS w,
+         doc_id % 17 = 0 AS corrupt
+  FROM documents
+), ok AS (
+  SELECT doc_id, nf, fps, h, w,
+         UNNEST(list_distinct(list_filter(
+             generate_series(0, nf - 1),
+             i -> i % 4 = 0 OR i = nf - 1))) AS fi
+  FROM p WHERE NOT corrupt
+)
+SELECT doc_id, fi AS frame_idx, nf AS n_frames, fps, w AS width,
+       h AS height,
+       CAST((doc_id * 7 + fi * 11) % 256 AS DOUBLE) AS mean_luma,
+       TRUE AS decoded_ok
+FROM ok
+UNION ALL
+SELECT doc_id, -1, 0, 0, 0, 0, 0.0, FALSE FROM p WHERE corrupt
+ORDER BY doc_id, frame_idx
 """,
         "ndt7_scrub": """
 WITH c AS (

@@ -501,3 +501,97 @@ class AudioFeatures:
             "mean_square": pa.array(rms),
             "decode_error": pa.array(errs, pa.string()),
         })
+
+
+# ---------------------------------------------------------------- video
+_VID_MAGIC = b"VID0"
+
+
+def encode_video(frames, *, fps: int = 10) -> bytes:
+    """Minimal frame-container writer: magic, fps, frame count, an offset
+    index, then each frame as an embedded PNG. Stands in for a real
+    container format — the parsing/sampling shape (index seek, per-frame
+    decode) is what a production demuxer stage looks like."""
+    blobs = [encode_png(f) for f in frames]
+    hdr = _VID_MAGIC + fps.to_bytes(4, "little") + \
+        len(blobs).to_bytes(4, "little")
+    off = len(hdr) + 8 * len(blobs)
+    idx = b""
+    for b in blobs:
+        idx += off.to_bytes(4, "little") + len(b).to_bytes(4, "little")
+        off += len(b)
+    return hdr + idx + b"".join(blobs)
+
+
+def decode_video_index(b: bytes):
+    """Container → (fps, [(offset, size), ...]) WITHOUT decoding frames —
+    the cheap demux pass sampling decisions are made on."""
+    if len(b) < 12 or b[:4] != _VID_MAGIC:
+        raise ValueError("not a VID0 container")
+    fps = int.from_bytes(b[4:8], "little")
+    n = int.from_bytes(b[8:12], "little")
+    if len(b) < 12 + 8 * n:
+        raise ValueError("truncated frame index")
+    idx = []
+    for i in range(n):
+        off = int.from_bytes(b[12 + 8 * i:16 + 8 * i], "little")
+        sz = int.from_bytes(b[16 + 8 * i:20 + 8 * i], "little")
+        if off + sz > len(b):
+            raise ValueError("frame offset past end of payload")
+        idx.append((off, sz))
+    return fps, idx
+
+
+class VideoFrameSampler:
+    """Actor-pool video stage: demux the frame index, decode ONLY every
+    ``every_nth`` frame plus the last (the tcpinfo thinning rule applied
+    to frames — skipped frames are never even PNG-decoded), emit one row
+    per sampled frame with its exact pixel mean. 1→N fan-out inside
+    map_batches; corrupt containers surface ``decode_error`` on a single
+    row with frame_idx = -1."""
+
+    def __init__(self, every_nth: int = 4):
+        self.every_nth = every_nth
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        rows = {"doc_id": [], "frame_idx": [], "n_frames": [], "fps": [],
+                "width": [], "height": [], "mean_luma": [],
+                "decode_error": []}
+        for d, p in zip(batch["doc_id"].to_pylist(),
+                        batch["payload"].to_pylist()):
+            try:
+                fps, idx = decode_video_index(p or b"")
+                take = list(range(0, len(idx), self.every_nth))
+                if idx and take[-1] != len(idx) - 1:
+                    take.append(len(idx) - 1)
+                for fi in take:
+                    off, sz = idx[fi]
+                    img = decode_image(p[off:off + sz])
+                    rows["doc_id"].append(d)
+                    rows["frame_idx"].append(fi)
+                    rows["n_frames"].append(len(idx))
+                    rows["fps"].append(fps)
+                    rows["height"].append(img.shape[0])
+                    rows["width"].append(img.shape[1])
+                    rows["mean_luma"].append(
+                        float(int(img.sum(dtype=np.int64))) / img.size)
+                    rows["decode_error"].append(None)
+            except ValueError as ex:
+                rows["doc_id"].append(d)
+                rows["frame_idx"].append(-1)
+                rows["n_frames"].append(0)
+                rows["fps"].append(0)
+                rows["height"].append(0)
+                rows["width"].append(0)
+                rows["mean_luma"].append(0.0)
+                rows["decode_error"].append(str(ex))
+        return pa.table({
+            "doc_id": pa.array(rows["doc_id"], pa.int64()),
+            "frame_idx": pa.array(rows["frame_idx"], pa.int64()),
+            "n_frames": pa.array(rows["n_frames"], pa.int64()),
+            "fps": pa.array(rows["fps"], pa.int64()),
+            "width": pa.array(rows["width"], pa.int64()),
+            "height": pa.array(rows["height"], pa.int64()),
+            "mean_luma": pa.array(rows["mean_luma"], pa.float64()),
+            "decode_error": pa.array(rows["decode_error"], pa.string()),
+        })

@@ -30,6 +30,7 @@ UNSAMPLED = [
     "multimodal_real_decode",
     "multimodal_resize",
     "multimodal_audio",
+    "multimodal_video",
     "ndt5_scrub",
     "ndt7_scrub",
     "ndt_group_deltas",

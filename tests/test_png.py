@@ -168,3 +168,36 @@ def test_wav_chunk_walker_and_features():
     import pytest as _pt
     with _pt.raises(ValueError):
         decode_wav(bytes(bad))
+
+
+def test_video_container_sampling():
+    import numpy as np
+    import pyarrow as pa
+
+    from etl_ray.ops.multimodal import (VideoFrameSampler,
+                                        decode_video_index, encode_video)
+
+    frames = [np.full((2, 3, 1), i * 10, np.uint8) for i in range(9)]
+    v = encode_video(frames, fps=5)
+    fps, idx = decode_video_index(v)
+    assert fps == 5 and len(idx) == 9
+    out = VideoFrameSampler(every_nth=4)(pa.table({
+        "doc_id": pa.array([1, 2], pa.int64()),
+        "payload": pa.array([v, b"bad"], pa.binary()),
+    })).to_pandas()
+    good = out[out.doc_id == 1]
+    assert good["frame_idx"].tolist() == [0, 4, 8]  # every 4th + last
+    assert good["mean_luma"].tolist() == [0.0, 40.0, 80.0]
+    bad = out[out.doc_id == 2]
+    assert bad["frame_idx"].tolist() == [-1]
+    assert bad["decode_error"].iloc[0] is not None
+
+    # truncated index / out-of-range offsets must raise, not segfault-read
+    import pytest as _pt
+    with _pt.raises(ValueError):
+        decode_video_index(v[:14])
+    corrupt = bytearray(v)
+    corrupt[12] = 0xFF  # first frame offset -> way past end
+    corrupt[13] = 0xFF
+    with _pt.raises(ValueError):
+        decode_video_index(bytes(corrupt))
