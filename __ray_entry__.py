@@ -593,10 +593,15 @@ ORDER BY user_id
 
 
 def _sql_corpus_curation(lang: str = "en", min_words: int = 20,
-                         threshold: float = 0.3) -> str:
+                         threshold: float = 0.3,
+                         max_dup_word_frac=None) -> str:
     """The full curation pipeline as one statement: language+length
-    filter, then the near-dup pair chain over the FILTERED docs, then the
-    recursive component closure, dropping non-canonical members."""
+    (+ optional Gopher dup-word-fraction gate) filter, then the near-dup
+    pair chain over the FILTERED docs, then the recursive component
+    closure, dropping non-canonical members."""
+    rep_gate = "" if max_dup_word_frac is None else (
+        f" AND 1.0 - len(list_distinct(regexp_split_to_array("
+        f"trim(text), '\\s+'))) / n_words <= {max_dup_word_frac}")
     return f"""
 WITH RECURSIVE
 lc AS (SELECT doc_id, text, {_lang_count_cols()} FROM documents),
@@ -608,7 +613,7 @@ fd AS (
   FROM lc
 ),
 fdocs AS (SELECT doc_id, text FROM fd
-          WHERE lang_pred = '{lang}' AND n_words >= {min_words}),
+          WHERE lang_pred = '{lang}' AND n_words >= {min_words}{rep_gate}),
 {_scored_pairs_ctes(threshold, "fdocs")},
 edges AS (SELECT id_a AS a, id_b AS b FROM vpairs
           UNION SELECT id_b, id_a FROM vpairs),
@@ -624,7 +629,7 @@ drops AS (
 )
 SELECT f.doc_id, f.lang_pred, f.n_words
 FROM fd f
-WHERE f.lang_pred = '{lang}' AND f.n_words >= {min_words}
+WHERE f.doc_id IN (SELECT doc_id FROM fdocs)
   AND f.doc_id NOT IN (SELECT node FROM drops)
 ORDER BY f.doc_id
 """
@@ -1477,6 +1482,16 @@ def _q_corpus_curation(sf_dir: str):
     from etl_ray.pipelines.curation import curate_corpus
 
     return curate_corpus(sf_dir)
+
+
+def _q_corpus_curation_gopher(sf_dir: str):
+    """Curation composite with the Gopher repetition gate: docs whose
+    duplicate-word fraction exceeds 0.6 are dropped in the streaming
+    filter stage BEFORE the dedup shuffle (cheapest-filter-first), so the
+    near-dup machinery only ever sees the survivors."""
+    from etl_ray.pipelines.curation import curate_corpus
+
+    return curate_corpus(sf_dir, max_dup_word_frac=0.6)
 
 
 def _q_kmeans(sf_dir: str):
@@ -2694,6 +2709,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tfidf_weights": _q_tfidf_weights,
         "kmeans_embeddings": _q_kmeans,
         "corpus_curation": _q_corpus_curation,
+        "corpus_curation_gopher": _q_corpus_curation_gopher,
         "value_histogram": _q_value_histogram,
         "value_quantiles": _q_value_quantiles,
         "approx_quantiles": _q_approx_quantiles,
@@ -3476,6 +3492,7 @@ FROM toks WHERE token <> '' GROUP BY token ORDER BY token
         "tfidf_weights": _sql_tfidf_weights(_BM25_TERMS),
         "kmeans_embeddings": _sql_kmeans(8, 64, 2, 11),
         "corpus_curation": _sql_corpus_curation("en", 20, 0.3),
+        "corpus_curation_gopher": _sql_corpus_curation("en", 20, 0.3, 0.6),
         "value_histogram": _sql_value_histogram(0.0, 400.0, 20),
         "value_quantiles": _sql_value_quantiles(_QUANTILE_QS),
         "approx_quantiles": _sql_approx_quantiles(_QUANTILE_QS, 4096),

@@ -1,8 +1,8 @@
 """End-to-end corpus curation — the flagship training-data pipeline
 composing the text + dedup operator families:
 
-  read → enrich (language-ID + whitespace token count, one pass)
-       → filter (language + min length)
+  read → enrich (language-ID + token count + dup-word fraction, one pass)
+       → filter (language + min length + optional Gopher repetition gate)
        → near-dup candidates (MinHash-LSH) → exact Jaccard verify
        → connected components → drop non-canonical cluster members
        → surviving docs with their curation metadata.
@@ -24,29 +24,43 @@ from __future__ import annotations
 
 import os
 
+import numpy as np
 import pandas as pd
 
 from etl_ray.functions import text as T
 
 
 def enrich_documents(ds, *, text_col: str = "text", id_col: str = "doc_id"):
-    """One streaming pass: (doc_id, text, lang_pred, n_words)."""
+    """One streaming pass: (doc_id, text, lang_pred, n_words,
+    dup_word_frac) — the duplicate-word fraction is the cheapest Gopher
+    repetition signal and rides along for an optional repetition gate."""
 
     def f(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.reset_index(drop=True)
+        toks = df[text_col].astype(str).str.split().explode().dropna()
+        uq = toks.groupby(level=0).nunique()
+        n = T.word_count(df[text_col]).astype("float64")
+        dup = 1.0 - uq.reindex(range(len(df)), fill_value=0).to_numpy() \
+            / np.maximum(n, 1.0)
         return pd.DataFrame({
             id_col: df[id_col].to_numpy(),
             text_col: df[text_col].to_numpy(),
             "lang_pred": T.detect_lang(df[text_col]),
-            "n_words": T.word_count(df[text_col]),
+            "n_words": n.astype("int64"),
+            "dup_word_frac": dup,
         })
 
     return ds.map_batches(f, batch_format="pandas")
 
 
 def curate_corpus(sf_dir: str, *, lang: str = "en", min_words: int = 20,
-                  threshold: float = 0.3, concurrency: int = 2):
+                  threshold: float = 0.3, concurrency: int = 2,
+                  max_dup_word_frac: float | None = None):
     """Returns the surviving corpus as a pandas DataFrame
-    (doc_id, lang_pred, n_words), sorted by doc_id."""
+    (doc_id, lang_pred, n_words), sorted by doc_id.
+    ``max_dup_word_frac`` adds the Gopher repetition gate to the filter
+    stage (docs above the duplicate-word-fraction cut never reach the
+    dedup shuffle — cheapest-filter-first ordering)."""
     import ray.data as rd
 
     from etl_ray.ops.components import dup_clusters
@@ -55,10 +69,16 @@ def curate_corpus(sf_dir: str, *, lang: str = "en", min_words: int = 20,
 
     docs = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
                            columns=["doc_id", "text"])
+    cut = max_dup_word_frac
+
+    def keep_filter(df: pd.DataFrame) -> pd.DataFrame:
+        m = (df["lang_pred"] == lang) & (df["n_words"] >= min_words)
+        if cut is not None:
+            m &= df["dup_word_frac"] <= cut
+        return df[m]
+
     kept = enrich_documents(docs).map_batches(
-        lambda df: df[(df["lang_pred"] == lang)
-                      & (df["n_words"] >= min_words)],
-        batch_format="pandas",
+        keep_filter, batch_format="pandas",
     ).materialize()  # consumed twice: pair generation + final filter
 
     cand = minhash_lsh_candidates(kept, concurrency=concurrency)

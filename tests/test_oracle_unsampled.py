@@ -25,6 +25,7 @@ UNSAMPLED = [
     "cdc_lake_diff",
     "chunk_sequences",
     "contamination_check",
+    "corpus_curation_gopher",
     "grouped_hll",
     "hopping_window",
     "multimodal_real_decode",
