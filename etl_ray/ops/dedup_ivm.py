@@ -284,3 +284,54 @@ def signatures_long(lake_dir: str, *, name: str = "minhash_sigs"):
 
     return read_signature_index(lake_dir, name=name).map_batches(
         explode, batch_format="pyarrow")
+
+
+def index_lsh_candidates(lake_dir: str, *, name: str = "minhash_sigs",
+                         bands: int = 16, max_bucket_ids: int = None):
+    """Candidate near-dup pairs FROM the maintained index — banding reads
+    the stored signature blobs, so after a refresh the dedup pass costs
+    zero text re-hashing (the expensive stage) and produces the same
+    (band, band_hash) keys as a fresh MinHasher pass over the lake's
+    final state: pairs are identical by construction."""
+    from etl_ray.ops.dedup import (DEFAULT_MAX_BUCKET_IDS, _SHINGLE_C,
+                                   _bucket_self_pairs, _dedup_pairs)
+    from ray.data.aggregate import Count
+
+    if max_bucket_ids is None:
+        max_bucket_ids = DEFAULT_MAX_BUCKET_IDS
+    meta = _load_meta(lake_dir, name)
+    if meta is None:
+        raise FileNotFoundError(f"signature index {name} not built")
+    num_perm = meta["num_perm"]
+    if num_perm % bands:
+        raise ValueError(f"bands={bands} must divide num_perm={num_perm}")
+    rows_per_band = num_perm // bands
+
+    def band_rows(t: pa.Table) -> pa.Table:
+        n = len(t)
+        if n == 0:
+            return pa.table({
+                "band": pa.array([], pa.int32()),
+                "band_hash": pa.array([], pa.uint64()),
+                "doc_id": pa.array([], pa.string()),
+            })
+        blob = b"".join(t["sig"].to_pylist())
+        sb = np.frombuffer(blob, "<u8").reshape(n, bands, rows_per_band)
+        key = np.zeros((n, bands), dtype=np.uint64)
+        for r in range(rows_per_band):
+            key = key * _SHINGLE_C + sb[:, :, r]
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "band": pa.array(
+                np.tile(np.arange(bands, dtype=np.int32), n)),
+            "band_hash": pa.array(key.reshape(-1).astype(np.int64)
+                                  .view(np.uint64)),
+            "doc_id": pa.array(np.repeat(ids, bands)),
+        })
+
+    sig = read_signature_index(lake_dir, name=name).map_batches(
+        band_rows, batch_format="pyarrow")
+    pairs = _bucket_self_pairs(sig, ["band", "band_hash"], "doc_id",
+                               max_bucket_ids)
+    return _dedup_pairs(pairs, [Count(alias_name="_nb")]).map_batches(
+        lambda t: t.drop_columns(["_nb"]), batch_format="pyarrow")

@@ -137,3 +137,25 @@ def test_gc_preserves_signature_index(lake):
     m.prune(keep_last=1)
     after = _long(lake, "gc")
     pd.testing.assert_frame_equal(before, after)
+
+
+def test_index_lsh_candidates_equal_fresh_pass(lake):
+    # pairs banded from stored signature blobs == pairs from a fresh
+    # MinHasher pass over the lake's final text state
+    from etl_ray.lake import read_lake
+    from etl_ray.ops.dedup import minhash_lsh_candidates
+    from etl_ray.ops.dedup_ivm import (build_signature_index,
+                                       index_lsh_candidates,
+                                       refresh_signature_index)
+
+    # build at head (the earlier prune test retired historical versions);
+    # incremental==full equality is already covered above — this test is
+    # about banding from stored blobs
+    build_signature_index(lake, name="lsh")
+    refresh_signature_index(lake, name="lsh")
+    got = (index_lsh_candidates(lake, name="lsh").to_pandas()
+           .sort_values(["id_a", "id_b"]).reset_index(drop=True))
+    fresh = minhash_lsh_candidates(
+        read_lake(lake, columns=["doc_id", "text"])
+    ).to_pandas().sort_values(["id_a", "id_b"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, fresh)
