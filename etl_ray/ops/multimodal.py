@@ -164,19 +164,29 @@ def _png_decode(b: bytes) -> np.ndarray:
     ch = _PNG_CHANNELS.get(ctype)
     if ch is None:
         raise ValueError(f"PNG color type {ctype} invalid")
+    stride = w * ch
+    expected = h * (1 + stride)
+    # bounded inflate: the output size is known from IHDR, so cap the
+    # decompressor there — an untrusted few-KB bomb whose IDAT inflates to
+    # gigabytes hits the cap and quarantines instead of OOM-killing the
+    # worker before the size check
     try:
-        raw = zlib.decompress(b"".join(idat))
+        dec = zlib.decompressobj()
+        raw = dec.decompress(b"".join(idat), expected + 1)
     except zlib.error as ex:
         raise ValueError(f"PNG inflate failed: {ex}")
-    stride = w * ch
-    if len(raw) != h * (1 + stride):
+    if len(raw) != expected or dec.unconsumed_tail:
         raise ValueError("PNG data size mismatch")
     img = _png_unfilter(np.frombuffer(raw, np.uint8), h, w, ch)
     if ctype == 3:
-        if plte is None:
+        if plte is None or len(plte) < 3:
             raise ValueError("PNG palette image missing PLTE")
-        pal = np.frombuffer(plte, np.uint8).reshape(-1, 3)
-        return pal[img.reshape(h, w)]
+        pal = np.frombuffer(plte[: len(plte) - len(plte) % 3],
+                            np.uint8).reshape(-1, 3)
+        flat = img.reshape(h, w)
+        if int(flat.max(initial=0)) >= len(pal):
+            raise ValueError("PNG palette index out of range")
+        return pal[flat]
     return img.reshape(h, w, ch)
 
 

@@ -32,10 +32,9 @@ import pyarrow.compute as pc
 DEFAULT_NUM_BUCKETS = 256
 
 
-def _bucket_groups(ds, key_cols, per_bucket, num_buckets: int):
-    """groupby(hash(keys) % num_buckets) + one vectorized map_groups per
-    bucket — the ops/ranking.py shape. ``per_bucket`` sees the bucket's
-    rows WITHOUT the helper column and must handle multiple keys."""
+def _bucket_tagger(key_cols, num_buckets: int):
+    """The shared key-hash bucket tag: every collect/rank family stage must
+    bucket IDENTICALLY or the same key lands in different groups."""
     key_cols = list(key_cols)
 
     def tag(df: pd.DataFrame) -> pd.DataFrame:
@@ -44,10 +43,19 @@ def _bucket_groups(ds, key_cols, per_bucket, num_buckets: int):
         df["__bucket"] = (h % num_buckets).astype(np.int64)
         return df
 
+    return tag
+
+
+def _bucket_groups(ds, key_cols, per_bucket, num_buckets: int):
+    """groupby(hash(keys) % num_buckets) + one vectorized map_groups per
+    bucket — the ops/ranking.py shape. ``per_bucket`` sees the bucket's
+    rows WITHOUT the helper column and must handle multiple keys."""
+
     def run(g: pd.DataFrame) -> pd.DataFrame:
         return per_bucket(g.drop(columns="__bucket"))
 
-    return (ds.map_batches(tag, batch_format="pandas")
+    return (ds.map_batches(_bucket_tagger(key_cols, num_buckets),
+                           batch_format="pandas")
             .groupby("__bucket").map_groups(run, batch_format="pandas"))
 
 
@@ -215,6 +223,14 @@ def collect_series(ds, *, key_col: str = "user_id",
     if as_list:
         def per_bucket_arrow(t: pa.Table) -> pa.Table:
             t = t.drop_columns(["__bucket"])
+            # null keys get their own (null, 0, []) row, mirroring the CSV
+            # path — left in the main pass they poison to_numpy with NaN
+            # (every NaN looks 'unique', searchsorted misroutes, and the
+            # int64 key cast throws)
+            key_type = t.schema.field(key_col).type
+            had_null = t[key_col].null_count > 0
+            if had_null:
+                t = t.filter(pc.is_valid(t[key_col]))
             idx = pc.sort_indices(
                 t, sort_keys=[(c, "ascending")
                               for c in [key_col] + order_cols])
@@ -237,20 +253,21 @@ def collect_series(ds, *, key_col: str = "user_id",
                 [[0], np.cumsum(counts)]).astype(np.int32)
             series = pa.ListArray.from_arrays(
                 pa.array(offsets), pa.array(cents, pa.int64()))
-            return pa.table({
-                key_col: pa.array(uk, t.schema.field(key_col).type),
+            out = pa.table({
+                key_col: pa.array(uk, key_type),
                 "n": pa.array(counts.astype(np.int64)),
                 "series": series,
             })
+            if had_null:
+                out = pa.concat_tables([out, pa.table({
+                    key_col: pa.array([None], key_type),
+                    "n": pa.array([0], pa.int64()),
+                    "series": pa.array([[]], pa.list_(pa.int64())),
+                })])
+            return out
 
-        def tag(df: pd.DataFrame) -> pd.DataFrame:
-            df = df.copy()
-            h = pd.util.hash_pandas_object(
-                df[[key_col]], index=False).to_numpy()
-            df["__bucket"] = (h % num_buckets).astype(np.int64)
-            return df
-
-        return (ds.map_batches(tag, batch_format="pandas")
+        return (ds.map_batches(_bucket_tagger([key_col], num_buckets),
+                               batch_format="pandas")
                 .groupby("__bucket")
                 .map_groups(per_bucket_arrow, batch_format="pyarrow"))
 

@@ -24,6 +24,14 @@ from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 from urllib.parse import parse_qs, urlparse
 
 
+class BadRequest(ValueError):
+    """Client-side error → HTTP 400 (reject, don't retry). Only raised by
+    explicit request-validation steps; internal ValueError subclasses like
+    pyarrow.ArrowInvalid from a corrupt lake must NOT map to 400, or a
+    task-queue front-end that treats 4xx as permanent drops retryable
+    work."""
+
+
 class WorkerService:
     """Embeddable one-shot worker. ``serve_forever`` blocks; tests drive it
     on an ephemeral port in a thread."""
@@ -75,7 +83,7 @@ class WorkerService:
                         self._reply(404, {"error": "unknown path"})
                 except KeyError as e:
                     self._reply(400, {"error": f"missing param {e}"})
-                except ValueError as e:
+                except BadRequest as e:
                     # invalid filename/params: reject, don't retry
                     self._reply(400, {"error": str(e)})
                 except Exception as e:  # one bad task must not kill the pod
@@ -93,7 +101,10 @@ class WorkerService:
         from etl_ray.functions.paths import get_filename
         from etl_ray.parsers import parse_archives
 
-        archive = get_filename(archive)
+        try:
+            archive = get_filename(archive)
+        except ValueError as e:
+            raise BadRequest(str(e))
         with self._lock:
             parsed = parse_archives([archive]).to_pandas()
         err = parsed["error"].notna()

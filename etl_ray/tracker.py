@@ -12,23 +12,33 @@ as the job checkpoint; a worker that goes silent gets its job re-issued.
 
 Engine analog, same wire shapes, stdlib HTTP only: ``JobClient`` speaks
 the three endpoints; ``run_job`` executes one job as a Ray pipeline
-(list archives under the job root → filter → parse_archives); ``poll``
-is the reference's Poll loop — next/run/update until the queue drains.
-Heartbeats are posted per listed archive at dispatch (the Ray pipeline
-runs archives in parallel inside one Dataset execution, so heartbeating
-per-archive-at-completion would require per-task callbacks; dispatch-time
-beats carry the same liveness signal). Transport failures are logged and
-never fail the job — status reporting must not take down parsing
+(list archives under the job root → filter → parse_archives) while a
+daemon thread posts a heartbeat every ``heartbeat_period`` seconds for
+the WHOLE parse — the lease must stay fresh for as long as the pipeline
+runs, or Gardener re-issues an in-flight job and it gets double-parsed.
+``poll`` is the reference's Poll loop — next/run/update until the queue
+drains. The liveness taxonomy matters: an HTTP error status from a
+REACHABLE tracker means "no job for you" (queue drained → stop), while a
+transport failure (refused/timeout) is transient — poll backs off and
+retries a bounded number of times instead of exiting the worker fleet on
+the first network blip. Heartbeat/update transport failures are logged
+and never fail the job — status reporting must not take down parsing
 (reference logs-and-continues in the same spots)."""
 
 from __future__ import annotations
 
 import json
+import threading
 import time
 import urllib.error
 import urllib.parse
 import urllib.request
 from typing import Callable, Optional
+
+
+class TrackerUnreachable(Exception):
+    """Transport-level failure talking to the tracker (connection refused,
+    timeout) — transient by definition; callers retry with backoff."""
 
 # reference tracker states used by the parser side (tracker/tracker.go)
 PARSING = "Parsing"
@@ -58,18 +68,35 @@ class JobClient:
             return None
 
     def next_job(self) -> Optional[dict]:
-        """POST /v2/job/next → job dict, or None when the queue is empty /
-        the tracker is unreachable. Expected fields: ``id`` plus whatever
-        locates the input (the engine reads ``root`` or ``bucket``+
-        ``prefix``, and an optional ``filter`` regex)."""
-        body = self._post("/v2/job/next")
+        """POST /v2/job/next → job dict, or None when the tracker has no
+        job to hand out (an HTTP error status from a reachable tracker —
+        the reference's ErrNoJobFound — or a payload that isn't a job).
+        Raises TrackerUnreachable on transport failure so the poll loop
+        can retry instead of mistaking a network blip for a drained
+        queue. Expected fields: ``id`` plus whatever locates the input
+        (the engine reads ``root`` or ``bucket``+``prefix``, and an
+        optional ``filter`` regex)."""
+        url = self.base + "/v2/job/next"
+        req = urllib.request.Request(url, data=b"", method="POST")
+        try:
+            with urllib.request.urlopen(req, timeout=self.timeout) as r:
+                body = r.read()
+        except urllib.error.HTTPError:
+            return None  # reachable tracker, no job
+        except (urllib.error.URLError, OSError) as ex:
+            self.transport_errors += 1
+            raise TrackerUnreachable(str(ex))
         if not body:
             return None
         try:
-            return json.loads(body)
+            job = json.loads(body)
         except json.JSONDecodeError:
             print(f"[tracker] bad job payload: {body[:200]!r}", flush=True)
             return None
+        if not isinstance(job, dict) or "id" not in job:
+            print(f"[tracker] job payload has no id: {job!r}", flush=True)
+            return None
+        return job
 
     def heartbeat(self, job_id) -> bool:
         return self._post("/v2/job/heartbeat", {"id": job_id}) is not None
@@ -91,10 +118,13 @@ def job_root(job: dict) -> str:
 
 
 def run_job(job: dict, client: JobClient, *,
-            registry: Optional[dict] = None) -> dict:
+            registry: Optional[dict] = None,
+            heartbeat_period: float = 10.0) -> dict:
     """Execute one tracker job: list archives under the job root (filter
-    regex applied at the listing, like JobFileSource), heartbeat per
-    dispatched archive, parse all of them as ONE Ray pipeline, report
+    regex applied at the listing, like JobFileSource), parse all of them
+    as ONE Ray pipeline while a daemon thread heartbeats every
+    ``heartbeat_period`` seconds — the lease must stay fresh for the
+    WHOLE parse or Gardener re-issues the in-flight job — and report
     Parsing progress and the final counts."""
     from etl_ray.parsers import parse_archives
     from etl_ray.sources.archive import list_archives
@@ -103,13 +133,24 @@ def run_job(job: dict, client: JobClient, *,
     if job.get("filter"):
         kw["pattern"] = job["filter"]
     paths = list_archives(job_root(job), **kw)
-    for _ in paths:  # one liveness beat per dispatched archive
-        client.heartbeat(job["id"])
+    client.heartbeat(job["id"])
     if not paths:
         return {"archives": 0, "rows": 0, "errors": 0}
     client.update(job["id"], PARSING,
                   f"dispatched {len(paths)} archives")
-    parsed = parse_archives(paths, registry).to_pandas()
+    stop = threading.Event()
+
+    def beat():
+        while not stop.wait(heartbeat_period):
+            client.heartbeat(job["id"])
+
+    beater = threading.Thread(target=beat, daemon=True)
+    beater.start()
+    try:
+        parsed = parse_archives(paths, registry).to_pandas()
+    finally:
+        stop.set()
+        beater.join(timeout=2 * heartbeat_period)
     err = parsed["error"].notna()
     return {"archives": len(paths), "rows": int((~err).sum()),
             "errors": int(err.sum())}
@@ -117,15 +158,30 @@ def run_job(job: dict, client: JobClient, *,
 
 def poll(base_url: str, *, max_jobs: Optional[int] = None,
          period: float = 0.0, registry: Optional[dict] = None,
-         run: Callable = run_job) -> list:
+         run: Callable = run_job, max_transient: int = 5,
+         backoff: float = 0.5) -> list:
     """The reference Poll loop: next → run → update, until the queue
     drains (next_job returns None) or ``max_jobs`` is hit. A job failure
     posts state=Failed with the error detail and the loop continues —
-    one bad job must not stop the worker."""
+    one bad job must not stop the worker. A TRANSPORT failure reaching
+    the tracker is retried with exponential backoff (``backoff``·2ⁿ, up
+    to ``max_transient`` consecutive failures) — a fleet must not die on
+    the first network blip while the tracker still holds queued jobs."""
     client = JobClient(base_url)
     done = []
+    transient = 0
     while max_jobs is None or len(done) < max_jobs:
-        job = client.next_job()
+        try:
+            job = client.next_job()
+        except TrackerUnreachable as ex:
+            transient += 1
+            if transient > max_transient:
+                print(f"[tracker] unreachable after {max_transient} "
+                      f"retries, giving up: {ex}", flush=True)
+                break
+            time.sleep(backoff * (2 ** (transient - 1)))
+            continue
+        transient = 0
         if job is None:
             break
         client.update(job["id"], PARSING, "starting tasks")

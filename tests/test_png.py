@@ -201,3 +201,32 @@ def test_video_container_sampling():
     corrupt[13] = 0xFF
     with _pt.raises(ValueError):
         decode_video_index(bytes(corrupt))
+
+
+def test_png_malformed_quarantines_not_crashes():
+    import struct
+
+    from etl_ray.ops.multimodal import _PNG_SIG, decode_image
+
+    def chunk(typ, data):
+        return (len(data).to_bytes(4, "big") + typ + data
+                + zlib.crc32(typ + data).to_bytes(4, "big"))
+
+    # palette image whose pixel index exceeds the 2-entry PLTE: must raise
+    # ValueError (quarantine path), not IndexError (task death)
+    ihdr = struct.pack(">IIBBBBB", 2, 1, 8, 3, 0, 0, 0)
+    raw = b"\x00" + bytes([0, 5])  # filter 0, indexes 0 and 5
+    png = (_PNG_SIG + chunk(b"IHDR", ihdr)
+           + chunk(b"PLTE", bytes([10, 10, 10, 20, 20, 20]))
+           + chunk(b"IDAT", zlib.compress(raw)) + chunk(b"IEND", b""))
+    with pytest.raises(ValueError, match="palette index"):
+        decode_image(png)
+
+    # decompression bomb: tiny IDAT inflating to ~100 MB must be rejected
+    # by the bounded inflate (size mismatch), never fully decompressed
+    ihdr = struct.pack(">IIBBBBB", 2, 1, 8, 0, 0, 0, 0)  # claims 2x1 gray
+    bomb = zlib.compress(b"\x00" * 100_000_000, 9)  # ~95 KB compressed
+    png = (_PNG_SIG + chunk(b"IHDR", ihdr)
+           + chunk(b"IDAT", bomb) + chunk(b"IEND", b""))
+    with pytest.raises(ValueError, match="size mismatch"):
+        decode_image(png)

@@ -312,3 +312,27 @@ def test_benchmark_shingles_shuffle_stays_fixed_width_arrow():
     )
     sch = shuffled.schema().base_schema
     assert pa.types.is_integer(sch.field("h").type), sch
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_collect_series_list_null_keys():
+    # null keys must get their own (null, 0, []) row like the CSV path,
+    # not poison the bucket task with NaN-key casts
+    import ray.data as rd
+
+    from etl_ray.ops.windows import collect_series
+
+    t = pa.table({
+        "user_id": pa.array([1, 1, None, 2], pa.int64()),
+        "ts": pa.array([1, 2, 3, 4], pa.int64()),
+        "event_id": pa.array([1, 2, 3, 4], pa.int64()),
+        "value": pa.array([1.0, 2.0, 9.0, 3.0], pa.float64()),
+    })
+    out = (collect_series(rd.from_arrow(t), num_buckets=2, as_list=True)
+           .to_pandas())
+    out = out.sort_values("user_id", na_position="last").reset_index(
+        drop=True)
+    assert out["user_id"].tolist()[:2] == [1, 2]
+    assert pd.isna(out["user_id"].iloc[2])
+    assert list(out["series"].iloc[0]) == [100, 200]
+    assert out["n"].iloc[2] == 0 and list(out["series"].iloc[2]) == []
