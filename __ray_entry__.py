@@ -2121,6 +2121,33 @@ def _q_cdc_dedup_incremental(sf_dir: str):
     return out.sort_values(["doc_id", "perm"]).reset_index(drop=True)
 
 
+def _q_cdc_dedup_exact_tokens(sf_dir: str):
+    """Post-replay sequence dedup by token-ARRAY equality: replay the
+    docs changelog (whose updates copy neighbours' text, manufacturing
+    real duplicate sequences), tokenize the lake's final state, and
+    collapse identical token arrays (ops/dedup.py exact_dedup_tokens —
+    vectorized ragged-fold hash, batch-local collapse, mergeable (min,
+    count) aggregates). The oracle groups DuckDB's native list values
+    over the closed-form final state — array equality, not hash
+    equality, so a fold collision would be caught."""
+    from etl_ray.config import EngineConfig
+    from etl_ray.lake import read_lake
+    from etl_ray.ops.dedup import exact_dedup_tokens
+    from etl_ray.ops.packing import TokenizeDocs
+    from etl_ray.pipelines import analogs as A
+    from etl_ray.pipelines.replay import replay
+
+    wal, lake = A.fresh_dirs("tokdedup")
+    A.docs_to_changelog(sf_dir, wal)
+    cfg = EngineConfig(num_partitions=8, apply_concurrency=None,
+                       payload=A.docs_payload())
+    replay(wal, lake, cfg)
+    toks = read_lake(lake, columns=["doc_id", "text"]).map_batches(
+        TokenizeDocs(), batch_format="pyarrow")
+    out = exact_dedup_tokens(toks).to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
 def _q_chunk_sequences(sf_dir: str):
     """Long-document sliding-window chunking (max_len=128, overlap=32):
     batch-local 1->N vectorized gather, zero shuffle."""
@@ -2752,6 +2779,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cdc_lake_diff": _q_cdc_lake_diff,
         "cdc_ivm_view": _q_cdc_ivm_view,
         "cdc_dedup_incremental": _q_cdc_dedup_incremental,
+        "cdc_dedup_exact_tokens": _q_cdc_dedup_exact_tokens,
         "chunk_sequences": _q_chunk_sequences,
         "stratified_sample": _q_stratified_sample,
         "top_events_per_user": _q_top_events_per_user,
@@ -3485,6 +3513,24 @@ FROM toks WHERE token <> '' GROUP BY token ORDER BY token
 """,
         "dedup_minhash_lsh": _sql_dedup_minhash(),
         "cdc_dedup_incremental": _sql_cdc_dedup_incremental(),
+        "cdc_dedup_exact_tokens": f"""
+WITH nn AS (SELECT count(*) AS n FROM documents),
+final AS (
+  SELECT CAST(d.doc_id AS VARCHAR) AS doc_id,
+         CASE WHEN d.doc_id % 5 = 0 THEN u.text ELSE d.text END AS text
+  FROM documents d
+  CROSS JOIN nn
+  LEFT JOIN documents u ON u.doc_id = (d.doc_id + 1) % nn.n
+  WHERE d.doc_id % 7 <> 0
+), tok AS (
+  SELECT doc_id,
+         list_transform(regexp_extract_all(text, '{_BPE_PAT}'),
+                        x -> length(x)) AS tk
+  FROM final
+)
+SELECT min(doc_id) AS doc_id, CAST(count(*) AS BIGINT) AS n_dups
+FROM tok GROUP BY tk ORDER BY doc_id
+""",
         "dedup_ngram_jaccard": _sql_dedup_ngram_jaccard(0.3),
         "dedup_clusters": _sql_dedup_clusters(0.3),
         "doc_frequencies": _sql_doc_frequencies(),

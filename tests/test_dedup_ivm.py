@@ -159,3 +159,27 @@ def test_index_lsh_candidates_equal_fresh_pass(lake):
         read_lake(lake, columns=["doc_id", "text"])
     ).to_pandas().sort_values(["id_a", "id_b"]).reset_index(drop=True)
     pd.testing.assert_frame_equal(got, fresh)
+
+
+def test_exact_dedup_tokens_hand_case(ray_session):
+    import pyarrow as pa
+    import ray.data as rd
+
+    from etl_ray.ops.dedup import exact_dedup_tokens
+
+    t = pa.table({
+        "doc_id": pa.array(["a", "b", "c", "d", "e"], pa.string()),
+        "tokens": pa.array([[1, 2, 3], [1, 2, 3], [1, 2], [], [1, 2]],
+                           pa.list_(pa.int32())),
+    })
+    out = (exact_dedup_tokens(rd.from_arrow(t)).to_pandas()
+           .sort_values("doc_id").reset_index(drop=True))
+    assert out["doc_id"].tolist() == ["a", "c", "d"]
+    assert out["n_dups"].tolist() == [2, 2, 1]
+    # prefix-shaped sequences must NOT collide ([0,1] vs [1] vs [0,0,1])
+    t2 = pa.table({
+        "doc_id": pa.array(["p", "q", "r"], pa.string()),
+        "tokens": pa.array([[0, 1], [1], [0, 0, 1]], pa.list_(pa.int32())),
+    })
+    out2 = exact_dedup_tokens(rd.from_arrow(t2)).to_pandas()
+    assert len(out2) == 3 and (out2["n_dups"] == 1).all()

@@ -22,6 +22,7 @@ UNSAMPLED = [
     "asof_state",
     "bigram_lm_scores",
     "bloom_bits",
+    "cdc_dedup_exact_tokens",
     "cdc_dedup_incremental",
     "cdc_ivm_view",
     "cdc_lake_diff",
