@@ -719,12 +719,16 @@ def exact_dedup_tokens(ds, *, tokens_col: str = "tokens",
 
     def per_batch(t: pa.Table) -> pa.Table:
         lists = t[tokens_col]
-        L = _pc.list_value_length(lists).to_numpy(
-            zero_copy_only=False).astype(np.int64)
+        Lf = _pc.list_value_length(lists).to_numpy(zero_copy_only=False)
+        null_mask = np.isnan(Lf) if Lf.dtype.kind == "f" \
+            else np.zeros(len(Lf), dtype=bool)
+        L = np.nan_to_num(Lf, nan=0.0).astype(np.int64)
         vals = _pc.list_flatten(lists).to_numpy(
             zero_copy_only=False).astype(np.uint64)
         n = len(L)
         h = L.astype(np.uint64) * SALT
+        # a NULL tokens entry is its own group, distinct from []
+        h[null_mask] = np.uint64(0xFFFFFFFFFFFFFFFF)
         if len(vals):
             maxlen = int(L.max())
             pw = np.empty(maxlen, np.uint64)

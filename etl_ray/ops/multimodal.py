@@ -456,6 +456,8 @@ def decode_wav(b: bytes):
         cid = b[pos:pos + 4]
         sz = int.from_bytes(b[pos + 4:pos + 8], "little")
         body = b[pos + 8:pos + 8 + sz]
+        if pos + 8 + sz > len(b):
+            raise ValueError("truncated wav chunk")
         if cid == b"fmt ":
             fmt = body
         elif cid == b"data":
@@ -567,8 +569,24 @@ class VideoFrameSampler:
         rows = {"doc_id": [], "frame_idx": [], "n_frames": [], "fps": [],
                 "width": [], "height": [], "mean_luma": [],
                 "decode_error": []}
+
+        def emit(d, fi, nf, fps, w, h, luma, err):
+            rows["doc_id"].append(d)
+            rows["frame_idx"].append(fi)
+            rows["n_frames"].append(nf)
+            rows["fps"].append(fps)
+            rows["width"].append(w)
+            rows["height"].append(h)
+            rows["mean_luma"].append(luma)
+            rows["decode_error"].append(err)
+
         for d, p in zip(batch["doc_id"].to_pylist(),
                         batch["payload"].to_pylist()):
+            # per-doc rows are staged locally so a frame failing mid-loop
+            # discards the doc's partial good rows — a doc is either
+            # decoded (its sampled frames) or quarantined (one error
+            # row), never contradictorily both
+            staged = []
             try:
                 fps, idx = decode_video_index(p or b"")
                 take = list(range(0, len(idx), self.every_nth))
@@ -577,24 +595,16 @@ class VideoFrameSampler:
                 for fi in take:
                     off, sz = idx[fi]
                     img = decode_image(p[off:off + sz])
-                    rows["doc_id"].append(d)
-                    rows["frame_idx"].append(fi)
-                    rows["n_frames"].append(len(idx))
-                    rows["fps"].append(fps)
-                    rows["height"].append(img.shape[0])
-                    rows["width"].append(img.shape[1])
-                    rows["mean_luma"].append(
-                        float(int(img.sum(dtype=np.int64))) / img.size)
-                    rows["decode_error"].append(None)
+                    staged.append((d, fi, len(idx), fps, img.shape[1],
+                                   img.shape[0],
+                                   float(int(img.sum(dtype=np.int64)))
+                                   / img.size, None))
+                if not idx:  # valid but empty container: one row, no
+                    staged.append((d, -1, 0, fps, 0, 0, 0.0, None))
             except ValueError as ex:
-                rows["doc_id"].append(d)
-                rows["frame_idx"].append(-1)
-                rows["n_frames"].append(0)
-                rows["fps"].append(0)
-                rows["height"].append(0)
-                rows["width"].append(0)
-                rows["mean_luma"].append(0.0)
-                rows["decode_error"].append(str(ex))
+                staged = [(d, -1, 0, 0, 0, 0, 0.0, str(ex))]
+            for r in staged:
+                emit(*r)
         return pa.table({
             "doc_id": pa.array(rows["doc_id"], pa.int64()),
             "frame_idx": pa.array(rows["frame_idx"], pa.int64()),

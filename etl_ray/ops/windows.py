@@ -34,14 +34,27 @@ DEFAULT_NUM_BUCKETS = 256
 
 def _bucket_tagger(key_cols, num_buckets: int):
     """The shared key-hash bucket tag: every collect/rank family stage must
-    bucket IDENTICALLY or the same key lands in different groups."""
+    bucket IDENTICALLY or the same key lands in different groups.
+
+    Arrow-native on purpose: a pandas tag stage silently promotes int64
+    key columns to float64 in batches that contain nulls, so the SAME key
+    hashes differently depending on which batch it rode in (misgrouping)
+    and the shuffle sees mixed int64/double block schemas. Hashing a
+    canonical string cast via the portable md5 kernel sidesteps both."""
     key_cols = list(key_cols)
 
-    def tag(df: pd.DataFrame) -> pd.DataFrame:
-        df = df.copy()
-        h = pd.util.hash_pandas_object(df[key_cols], index=False).to_numpy()
-        df["__bucket"] = (h % num_buckets).astype(np.int64)
-        return df
+    def tag(t: pa.Table) -> pa.Table:
+        from etl_ray.ops.dedup import _SHINGLE_C, md5le64
+
+        n = len(t)
+        acc = np.zeros(n, np.uint64)
+        for c in key_cols:
+            s = pc.cast(t[c], pa.string())
+            arr = s.to_numpy(zero_copy_only=False)
+            arr = np.where(pd.isna(arr), "\x00__null__", arr).astype(object)
+            acc = acc * _SHINGLE_C + md5le64(arr)
+        return t.append_column("__bucket", pa.array(
+            (acc % np.uint64(num_buckets)).astype(np.int64)))
 
     return tag
 
@@ -55,7 +68,7 @@ def _bucket_groups(ds, key_cols, per_bucket, num_buckets: int):
         return per_bucket(g.drop(columns="__bucket"))
 
     return (ds.map_batches(_bucket_tagger(key_cols, num_buckets),
-                           batch_format="pandas")
+                           batch_format="pyarrow")
             .groupby("__bucket").map_groups(run, batch_format="pandas"))
 
 
@@ -267,7 +280,7 @@ def collect_series(ds, *, key_col: str = "user_id",
             return out
 
         return (ds.map_batches(_bucket_tagger([key_col], num_buckets),
-                               batch_format="pandas")
+                               batch_format="pyarrow")
                 .groupby("__bucket")
                 .map_groups(per_bucket_arrow, batch_format="pyarrow"))
 

@@ -30,25 +30,29 @@ import pandas as pd
 from etl_ray.functions import text as T
 
 
-def enrich_documents(ds, *, text_col: str = "text", id_col: str = "doc_id"):
-    """One streaming pass: (doc_id, text, lang_pred, n_words,
-    dup_word_frac) — the duplicate-word fraction is the cheapest Gopher
-    repetition signal and rides along for an optional repetition gate."""
+def enrich_documents(ds, *, text_col: str = "text", id_col: str = "doc_id",
+                     with_repetition: bool = False):
+    """One streaming pass: (doc_id, text, lang_pred, n_words [,
+    dup_word_frac]) — the duplicate-word fraction (the cheapest Gopher
+    repetition signal) costs an explode + grouped nunique over every
+    token, so it is computed only when a repetition gate will read it."""
 
     def f(df: pd.DataFrame) -> pd.DataFrame:
         df = df.reset_index(drop=True)
-        toks = df[text_col].astype(str).str.split().explode().dropna()
-        uq = toks.groupby(level=0).nunique()
         n = T.word_count(df[text_col]).astype("float64")
-        dup = 1.0 - uq.reindex(range(len(df)), fill_value=0).to_numpy() \
-            / np.maximum(n, 1.0)
-        return pd.DataFrame({
+        out = pd.DataFrame({
             id_col: df[id_col].to_numpy(),
             text_col: df[text_col].to_numpy(),
             "lang_pred": T.detect_lang(df[text_col]),
             "n_words": n.astype("int64"),
-            "dup_word_frac": dup,
         })
+        if with_repetition:
+            toks = df[text_col].astype(str).str.split().explode().dropna()
+            uq = toks.groupby(level=0).nunique()
+            out["dup_word_frac"] = 1.0 - uq.reindex(
+                range(len(df)), fill_value=0).to_numpy() \
+                / np.maximum(n, 1.0)
+        return out
 
     return ds.map_batches(f, batch_format="pandas")
 
@@ -77,9 +81,10 @@ def curate_corpus(sf_dir: str, *, lang: str = "en", min_words: int = 20,
             m &= df["dup_word_frac"] <= cut
         return df[m]
 
-    kept = enrich_documents(docs).map_batches(
-        keep_filter, batch_format="pandas",
-    ).materialize()  # consumed twice: pair generation + final filter
+    kept = enrich_documents(docs, with_repetition=cut is not None) \
+        .map_batches(
+            keep_filter, batch_format="pandas",
+        ).materialize()  # consumed twice: pair generation + final filter
 
     cand = minhash_lsh_candidates(kept, concurrency=concurrency)
     pairs = verify_candidates(kept, cand, threshold=threshold)

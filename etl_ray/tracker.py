@@ -54,7 +54,12 @@ class JobClient:
         self.timeout = timeout
         self.transport_errors = 0
 
-    def _post(self, path: str, params: Optional[dict] = None) -> Optional[bytes]:
+    def _post(self, path: str, params: Optional[dict] = None, *,
+              raise_transport: bool = False) -> Optional[bytes]:
+        """POST; transport failures AND 5xx statuses either log-and-None
+        (status reporting must not take down parsing) or raise
+        TrackerUnreachable when the caller wants to retry. A 4xx from a
+        reachable tracker is a definitive 'no' — returns None always."""
         url = self.base + path
         if params:
             url += "?" + urllib.parse.urlencode(params)
@@ -62,30 +67,32 @@ class JobClient:
         try:
             with urllib.request.urlopen(req, timeout=self.timeout) as r:
                 return r.read()
+        except urllib.error.HTTPError as ex:
+            if ex.code < 500:
+                return None  # reachable tracker said no — definitive
+            self.transport_errors += 1
+            print(f"[tracker] {path} failed: {ex}", flush=True)
+            if raise_transport:
+                raise TrackerUnreachable(str(ex))
+            return None
         except (urllib.error.URLError, OSError) as ex:
             self.transport_errors += 1
             print(f"[tracker] {path} failed: {ex}", flush=True)
+            if raise_transport:
+                raise TrackerUnreachable(str(ex))
             return None
 
     def next_job(self) -> Optional[dict]:
         """POST /v2/job/next → job dict, or None when the tracker has no
-        job to hand out (an HTTP error status from a reachable tracker —
-        the reference's ErrNoJobFound — or a payload that isn't a job).
-        Raises TrackerUnreachable on transport failure so the poll loop
-        can retry instead of mistaking a network blip for a drained
-        queue. Expected fields: ``id`` plus whatever locates the input
-        (the engine reads ``root`` or ``bucket``+``prefix``, and an
-        optional ``filter`` regex)."""
-        url = self.base + "/v2/job/next"
-        req = urllib.request.Request(url, data=b"", method="POST")
-        try:
-            with urllib.request.urlopen(req, timeout=self.timeout) as r:
-                body = r.read()
-        except urllib.error.HTTPError:
-            return None  # reachable tracker, no job
-        except (urllib.error.URLError, OSError) as ex:
-            self.transport_errors += 1
-            raise TrackerUnreachable(str(ex))
+        job to hand out (a 4xx from a reachable tracker — the reference's
+        ErrNoJobFound — or a payload that isn't a job). Raises
+        TrackerUnreachable on transport failure OR a 5xx status so the
+        poll loop retries with backoff instead of mistaking a blip (or a
+        tracker mid-restart behind a proxy) for a drained queue. Expected
+        fields: ``id`` plus whatever locates the input (the engine reads
+        ``root`` or ``bucket``+``prefix``, and an optional ``filter``
+        regex)."""
+        body = self._post("/v2/job/next", raise_transport=True)
         if not body:
             return None
         try:

@@ -183,3 +183,20 @@ def test_exact_dedup_tokens_hand_case(ray_session):
     })
     out2 = exact_dedup_tokens(rd.from_arrow(t2)).to_pandas()
     assert len(out2) == 3 and (out2["n_dups"] == 1).all()
+
+
+def test_exact_dedup_tokens_null_entries(ray_session):
+    import pyarrow as pa
+    import ray.data as rd
+
+    from etl_ray.ops.dedup import exact_dedup_tokens
+
+    t = pa.table({
+        "doc_id": pa.array(["a", "b", "c"], pa.string()),
+        "tokens": pa.array([None, [], None], pa.list_(pa.int32())),
+    })
+    out = (exact_dedup_tokens(rd.from_arrow(t)).to_pandas()
+           .sort_values("doc_id").reset_index(drop=True))
+    # nulls group together, distinct from the empty list
+    assert out["doc_id"].tolist() == ["a", "b"]
+    assert out["n_dups"].tolist() == [2, 1]

@@ -230,3 +230,42 @@ def test_png_malformed_quarantines_not_crashes():
            + chunk(b"IDAT", bomb) + chunk(b"IEND", b""))
     with pytest.raises(ValueError, match="size mismatch"):
         decode_image(png)
+
+
+def test_wav_truncated_chunk_rejected():
+    import numpy as np
+
+    from etl_ray.ops.multimodal import decode_wav, encode_wav
+
+    wav = encode_wav(np.array([1, 2, 3, 4], np.int16))
+    with pytest.raises(ValueError, match="truncated"):
+        decode_wav(wav[:-4])  # data chunk declares more than remains
+
+
+def test_video_zero_frames_and_partial_corruption():
+    import numpy as np
+    import pyarrow as pa
+
+    from etl_ray.ops.multimodal import VideoFrameSampler, encode_video
+
+    empty = encode_video([], fps=7)
+    frames = [np.full((2, 2, 1), i, np.uint8) for i in range(5)]
+    good = encode_video(frames, fps=5)
+    # garble frame 4's PNG bytes but keep the index valid: the doc must
+    # surface ONE error row, not good-rows-plus-error
+    _, idx = __import__("etl_ray.ops.multimodal",
+                        fromlist=["decode_video_index"]
+                        ).decode_video_index(good)
+    off, sz = idx[4]
+    bad = good[:off] + b"\x00" * sz + good[off + sz:]
+    out = VideoFrameSampler(every_nth=4)(pa.table({
+        "doc_id": pa.array([1, 2, 3], pa.int64()),
+        "payload": pa.array([empty, good, bad], pa.binary()),
+    })).to_pandas()
+    e = out[out.doc_id == 1]
+    assert len(e) == 1 and e["n_frames"].iloc[0] == 0 \
+        and e["fps"].iloc[0] == 7 and e["decode_error"].iloc[0] is None
+    g = out[out.doc_id == 2]
+    assert g["frame_idx"].tolist() == [0, 4]
+    b3 = out[out.doc_id == 3]
+    assert len(b3) == 1 and b3["decode_error"].iloc[0] is not None

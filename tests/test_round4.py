@@ -336,3 +336,35 @@ def test_collect_series_list_null_keys():
     assert pd.isna(out["user_id"].iloc[2])
     assert list(out["series"].iloc[0]) == [100, 200]
     assert out["n"].iloc[2] == 0 and list(out["series"].iloc[2]) == []
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_collect_series_nulls_in_one_block_only():
+    # the bug scenario: multi-block input where only ONE block contains a
+    # null key. A pandas tag stage would promote that block's int64 keys
+    # to float64 — same key hashing differently per block (misgrouping)
+    # and mixed block schemas. The arrow-native tagger must keep key 1's
+    # rows together across blocks.
+    import ray.data as rd
+
+    from etl_ray.ops.windows import collect_series
+
+    block_a = pa.table({           # no nulls
+        "user_id": pa.array([1, 2], pa.int64()),
+        "ts": pa.array([1, 1], pa.int64()),
+        "event_id": pa.array([1, 2], pa.int64()),
+        "value": pa.array([1.0, 5.0], pa.float64()),
+    })
+    block_b = pa.table({           # null present -> would promote
+        "user_id": pa.array([1, None], pa.int64()),
+        "ts": pa.array([2, 2], pa.int64()),
+        "event_id": pa.array([3, 4], pa.int64()),
+        "value": pa.array([2.0, 9.0], pa.float64()),
+    })
+    ds = rd.from_arrow(block_a).union(rd.from_arrow(block_b))
+    out = (collect_series(ds, num_buckets=4, as_list=True).to_pandas()
+           .sort_values("user_id", na_position="last")
+           .reset_index(drop=True))
+    one = out[out.user_id == 1]
+    assert len(one) == 1                       # not split across buckets
+    assert list(one["series"].iloc[0]) == [100, 200]

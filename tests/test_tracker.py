@@ -32,7 +32,7 @@ class FakeGardener:
                 q = {k: v[0] for k, v in parse_qs(url.query).items()}
                 if url.path == "/v2/job/next":
                     if not fg.jobs:
-                        self.send_response(500)
+                        self.send_response(404)  # reachable: no job (4xx)
                         self.end_headers()
                         return
                     body = json.dumps(fg.jobs.pop(0)).encode()
@@ -98,7 +98,7 @@ def test_poll_runs_jobs_and_reports(gardener, ray_session, tmp_path):
     states = [(u[0], u[1]) for u in gardener.updates]
     assert states[0] == ("j1", PARSING)  # starting tasks
     assert ("j1", PARSE_COMPLETE) in states
-    # queue drained: poll stopped on the 500 from /v2/job/next
+    # queue drained: poll stopped on the 404 from /v2/job/next
 
 
 def test_poll_isolates_job_failures(gardener, ray_session, tmp_path):
@@ -149,3 +149,29 @@ def test_job_filter_applied(gardener, ray_session, tmp_path):
                           "filter": r"keep_.*\.tar$"})
     done = poll(gardener.url, max_jobs=1)
     assert done[0]["archives"] == 1 and done[0]["rows"] == 1
+
+
+def test_5xx_from_reachable_tracker_is_transient():
+    # a tracker mid-restart behind a proxy answers 503: that is NOT a
+    # drained queue — next_job must raise for the retry path
+    from etl_ray.tracker import TrackerUnreachable
+
+    class FiveOhThree(BaseHTTPRequestHandler):
+        def log_message(self, fmt, *args):
+            pass
+
+        def do_POST(self):
+            self.send_response(503)
+            self.end_headers()
+
+    httpd = ThreadingHTTPServer(("127.0.0.1", 0), FiveOhThree)
+    threading.Thread(target=httpd.serve_forever, daemon=True).start()
+    try:
+        c = JobClient(f"http://127.0.0.1:{httpd.server_address[1]}",
+                      timeout=1.0)
+        with pytest.raises(TrackerUnreachable):
+            c.next_job()
+        # status posts still log-and-continue on 5xx
+        assert c.update("x", PARSING) is False
+    finally:
+        httpd.shutdown()
