@@ -2172,6 +2172,22 @@ def _q_chunk_sequences(sf_dir: str):
     return df.sort_values(["doc_id", "chunk_idx"]).reset_index(drop=True)
 
 
+def _q_length_bucket_batches(sf_dir: str):
+    """Pad-efficient training batches: length-bucket each tokenized doc,
+    assign deterministic batch slots within the bucket, report per-doc
+    pad waste (ops/packing.py length_bucket_batches — n_tok/bucket
+    batch-local, one small shuffle on the bucket id)."""
+    import ray.data as rd
+
+    from etl_ray.ops.packing import TokenizeDocs, length_bucket_batches
+
+    ds = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                         columns=["doc_id", "text"])
+    toks = ds.map_batches(TokenizeDocs(), batch_format="pyarrow")
+    out = length_bucket_batches(toks, batch_size=16).to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
 def _q_stratified_sample(sf_dir: str):
     """Deterministic per-stratum hash sampling (source-mix rebalancing);
     the selection predicate is reproduced verbatim in the SQL oracle."""
@@ -2780,6 +2796,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cdc_ivm_view": _q_cdc_ivm_view,
         "cdc_dedup_incremental": _q_cdc_dedup_incremental,
         "cdc_dedup_exact_tokens": _q_cdc_dedup_exact_tokens,
+        "length_bucket_batches": _q_length_bucket_batches,
         "chunk_sequences": _q_chunk_sequences,
         "stratified_sample": _q_stratified_sample,
         "top_events_per_user": _q_top_events_per_user,
@@ -3416,6 +3433,29 @@ SELECT doc_id, chunk_idx,
                            least(chunk_idx * 96 + 128, n)],
                         x -> CAST(x AS VARCHAR)), ',') AS tokens_csv
 FROM ch ORDER BY doc_id, chunk_idx
+""",
+        "length_bucket_batches": f"""
+WITH tok AS (
+  SELECT doc_id,
+         len(regexp_extract_all(text, '{_BPE_PAT}')) AS n_tok
+  FROM documents
+), b AS (
+  SELECT doc_id, CAST(n_tok AS BIGINT) AS n_tok,
+         CAST(CAST(n_tok > 32 AS INT) + CAST(n_tok > 64 AS INT)
+              + CAST(n_tok > 128 AS INT) + CAST(n_tok > 256 AS INT)
+              AS BIGINT) AS bucket
+  FROM tok
+), r AS (
+  SELECT *, CAST((row_number() OVER (PARTITION BY bucket ORDER BY doc_id)
+                  - 1) // 16 AS BIGINT) AS batch_idx
+  FROM b
+)
+SELECT doc_id, n_tok, bucket, batch_idx,
+       CAST(max(n_tok) OVER (PARTITION BY bucket, batch_idx)
+            AS BIGINT) AS pad_to,
+       CAST(max(n_tok) OVER (PARTITION BY bucket, batch_idx) - n_tok
+            AS BIGINT) AS waste
+FROM r ORDER BY doc_id
 """,
         "stratified_sample": f"""
 SELECT doc_id, lang, source FROM documents

@@ -160,3 +160,47 @@ def chunk_sequences(ds, *, max_len: int = 128, overlap: int = 32,
         })
 
     return ds.map_batches(per_batch, batch_format="pyarrow")
+
+
+def length_bucket_batches(ds, *, tokens_col: str = "tokens",
+                          id_col: str = "doc_id",
+                          boundaries=(32, 64, 128, 256),
+                          batch_size: int = 16):
+    """Length-bucketed batching — the pad-efficiency layout between
+    tokenization and the trainer: sequences are grouped into length
+    buckets (``bucket`` = first boundary ≥ n_tok, last bucket unbounded)
+    and assigned deterministic ``batch_idx`` slots of ``batch_size``
+    members in id order; ``pad_to`` is the batch's max length, ``waste``
+    the pad tokens this doc costs. Batching near-equal lengths bounds
+    waste by the bucket width instead of the corpus max.
+
+    Scale shape: n_tok and bucket are batch-local; the batch assignment
+    needs a global rank WITHIN each bucket, so buckets shuffle once and
+    rank in one vectorized pass per bucket (len(boundaries)+1 groups —
+    at extreme corpus sizes sub-partition by id range per bucket, same
+    note as sessionize). Returns (id, n_tok, bucket, batch_idx, pad_to,
+    waste)."""
+    bounds = np.asarray(sorted(boundaries), dtype=np.int64)
+
+    def per_batch(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        n_tok = pc.list_value_length(t[tokens_col]).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        bucket = np.searchsorted(bounds, n_tok, side="left")
+        return pa.table({
+            id_col: t[id_col],
+            "n_tok": pa.array(n_tok),
+            "bucket": pa.array(bucket.astype(np.int64)),
+        })
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(id_col, kind="stable").reset_index(drop=True)
+        g["batch_idx"] = np.arange(len(g), dtype=np.int64) // batch_size
+        g["pad_to"] = g.groupby("batch_idx")["n_tok"].transform("max")
+        g["waste"] = g["pad_to"] - g["n_tok"]
+        return g
+
+    return (ds.map_batches(per_batch, batch_format="pyarrow")
+            .groupby("bucket")
+            .map_groups(per_bucket, batch_format="pandas"))

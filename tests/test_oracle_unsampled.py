@@ -31,6 +31,7 @@ UNSAMPLED = [
     "corpus_curation_gopher",
     "grouped_hll",
     "hopping_window",
+    "length_bucket_batches",
     "multimodal_real_decode",
     "multimodal_resize",
     "multimodal_audio",

@@ -126,3 +126,28 @@ def test_pack_documents_covers_all_tokens(tmp_path):
     out["bucket"] = out["seq_id"] // SEQ_PER_BUCKET
     for _, g in out.groupby("bucket"):
         assert (g.sort_values("seq_id")["n_tok"].iloc[:-1] == 8).all()
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_length_bucket_batches_hand_case():
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from etl_ray.ops.packing import length_bucket_batches
+
+    lens = [5, 40, 33, 200, 64, 64, 65, 1000, 31, 32]
+    t = pa.table({
+        "doc_id": pa.array(range(10), pa.int64()),
+        "tokens": pa.array([[0] * n for n in lens], pa.list_(pa.int32())),
+    })
+    out = (length_bucket_batches(rd.from_arrow(t), batch_size=2)
+           .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    # boundary value 32 stays in bucket 0 (first boundary >= n_tok)
+    assert out["bucket"].tolist() == [0, 1, 1, 3, 1, 1, 2, 4, 0, 0]
+    # bucket 0 in id order: ids 0,8 (batch 0) then 9 (batch 1)
+    b0 = out[out.bucket == 0]
+    assert b0["batch_idx"].tolist() == [0, 0, 1]
+    # pad_to is the batch max; waste = pad_to - n_tok
+    assert out.loc[0, "pad_to"] == 31 and out.loc[0, "waste"] == 26
+    assert (out["waste"] == out["pad_to"] - out["n_tok"]).all()
