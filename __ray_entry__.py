@@ -2188,6 +2188,23 @@ def _q_length_bucket_batches(sf_dir: str):
     return out.sort_values("doc_id").reset_index(drop=True)
 
 
+def _q_mixture_expand(sf_dir: str):
+    """Deterministic data-mixture expansion: src0 down-weighted to 0.5,
+    src1 up-weighted to 2.25 (two whole copies + 25% a third), everything
+    else 1.0 — per-row arithmetic, 1→N in map_batches, zero shuffle
+    (ops/sampling.py mixture_expand)."""
+    import ray.data as rd
+
+    from etl_ray.ops.sampling import mixture_expand
+
+    ds = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                         columns=["doc_id", "source"])
+    out = mixture_expand(ds, key_col="doc_id", source_col="source",
+                         weights={"src0": 0.5, "src1": 2.25}).to_pandas()
+    return (out.sort_values(["doc_id", "copy_idx"])
+            .reset_index(drop=True))
+
+
 def _q_stratified_sample(sf_dir: str):
     """Deterministic per-stratum hash sampling (source-mix rebalancing);
     the selection predicate is reproduced verbatim in the SQL oracle."""
@@ -2797,6 +2814,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cdc_dedup_incremental": _q_cdc_dedup_incremental,
         "cdc_dedup_exact_tokens": _q_cdc_dedup_exact_tokens,
         "length_bucket_batches": _q_length_bucket_batches,
+        "mixture_expand": _q_mixture_expand,
         "chunk_sequences": _q_chunk_sequences,
         "stratified_sample": _q_stratified_sample,
         "top_events_per_user": _q_top_events_per_user,
@@ -3456,6 +3474,23 @@ SELECT doc_id, n_tok, bucket, batch_idx,
        CAST(max(n_tok) OVER (PARTITION BY bucket, batch_idx) - n_tok
             AS BIGINT) AS waste
 FROM r ORDER BY doc_id
+""",
+        "mixture_expand": f"""
+WITH w AS (
+  SELECT doc_id, source,
+         CASE source WHEN 'src0' THEN 0.5 WHEN 'src1' THEN 2.25
+              ELSE 1.0 END AS wgt
+  FROM documents
+), c AS (
+  SELECT doc_id, source,
+         CAST(floor(wgt) AS BIGINT)
+         + CASE WHEN ({_md5le64_sql("CAST(doc_id AS VARCHAR)")}) % 65536
+                     < CAST(round((wgt - floor(wgt)) * 65536) AS BIGINT)
+                THEN 1 ELSE 0 END AS n_copies
+  FROM w
+)
+SELECT doc_id, source, UNNEST(range(0, n_copies)) AS copy_idx
+FROM c WHERE n_copies > 0 ORDER BY doc_id, copy_idx
 """,
         "stratified_sample": f"""
 SELECT doc_id, lang, source FROM documents

@@ -130,3 +130,44 @@ def weighted_sample(ds, *, key_col: str, weight_col: str, k: int,
                            ascending=[False, True]).head(k)
     out["score"] = out["score"].round(round_to)
     return out.reset_index(drop=True)
+
+
+def mixture_expand(ds, *, key_col: str, source_col: str,
+                   weights: Dict[str, float], default_weight: float = 1.0,
+                   seed: str = ""):
+    """Deterministic data-mixture expansion: each source's docs appear
+    ``weight`` times per epoch — whole copies for the integer part plus a
+    hash-sampled extra copy with probability frac(weight). weight 2.3 ⇒
+    every doc twice and ~30% of docs a third time; weight 0.3 ⇒ ~30% of
+    docs once. The standard way pretraining runs up/down-weight sources
+    without materializing shuffled epochs.
+
+    Pure per-row arithmetic (1→N inside map_batches, zero shuffle,
+    reproducible): n_copies(doc) = floor(w) + [md5(key+seed) % D <
+    frac(w)·D], emitted as (…, copy_idx) rows. The trainer interleaves by
+    hashing (key, copy_idx) into its shuffle buffer."""
+    fw = {k: float(v) for k, v in weights.items()}
+
+    def f(batch: pa.Table) -> pa.Table:
+        n = len(batch)
+        if n == 0:
+            return batch.append_column("copy_idx",
+                                       pa.array([], pa.int64()))
+        src = batch[source_col].to_numpy(zero_copy_only=False)
+        w = pd.Series(src).map(fw).fillna(default_weight).to_numpy(
+            np.float64)
+        whole = np.floor(w).astype(np.int64)
+        frac_num = np.round((w - whole) * DENOM).astype(np.int64)
+        keys = batch[key_col].to_numpy(zero_copy_only=False).astype(str)
+        if seed:
+            keys = np.char.add(keys, seed)
+        extra = _keep_mask(keys, frac_num).astype(np.int64)
+        copies = whole + extra
+        idx = np.repeat(np.arange(n), copies)
+        out = batch.take(pa.array(idx))
+        starts = np.concatenate([[0], np.cumsum(copies)[:-1]])
+        copy_idx = np.arange(len(idx), dtype=np.int64) - starts[
+            np.repeat(np.arange(n), copies)]
+        return out.append_column("copy_idx", pa.array(copy_idx))
+
+    return ds.map_batches(f, batch_format="pyarrow")

@@ -34,6 +34,7 @@ UNSAMPLED = [
     "length_bucket_batches",
     "multimodal_real_decode",
     "multimodal_resize",
+    "mixture_expand",
     "multimodal_audio",
     "multimodal_video",
     "ndt5_scrub",

@@ -183,3 +183,37 @@ def test_collect_series_as_list_matches_csv():
            for r in csv.itertuples()}
     assert got == exp
     assert got[1] == [125, 250] and got[3] == []
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_mixture_expand_weights():
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from etl_ray.ops.sampling import mixture_expand
+
+    t = pa.table({
+        "doc_id": pa.array([str(i) for i in range(2000)], pa.string()),
+        "source": pa.array((["a"] * 1000) + (["b"] * 600) + (["c"] * 400)),
+    })
+    out = mixture_expand(
+        rd.from_arrow(t), key_col="doc_id", source_col="source",
+        weights={"a": 0.5, "b": 2.25},  # c falls to default 1.0
+    ).to_pandas()
+    by = out.groupby("source").size()
+    assert abs(by["a"] / 1000 - 0.5) < 0.08   # hash-sampled fraction
+    assert abs(by["b"] / 600 - 2.25) < 0.08
+    assert by["c"] == 400                     # whole weight: exact
+    # copy_idx is dense 0..n-1 per doc
+    b2 = out[out.source == "b"].groupby("doc_id")["copy_idx"].agg(
+        ["min", "max", "size"])
+    assert (b2["min"] == 0).all()
+    assert (b2["max"] == b2["size"] - 1).all()
+    # deterministic: a re-run selects the same rows
+    again = mixture_expand(
+        rd.from_arrow(t), key_col="doc_id", source_col="source",
+        weights={"a": 0.5, "b": 2.25}).to_pandas()
+    lhs = out.sort_values(["doc_id", "copy_idx"]).reset_index(drop=True)
+    rhs = again.sort_values(["doc_id", "copy_idx"]).reset_index(drop=True)
+    assert lhs.equals(rhs)
