@@ -18,6 +18,16 @@ rowwriter.go:180-187):
 
 Lineage counters keep the reference's row-stats invariant
 accepted == committed + failed(quarantined) (/root/reference/etl/etl.go:23-35).
+
+Storage scope: the manifest intentionally targets a POSIX-rename
+filesystem (local disk or a shared fs mount) — tmp + os.replace IS the
+commit primitive. On an object store the same protocol maps to
+conditional puts (S3 If-None-Match / GCS x-goog-if-generation-match on
+CURRENT) with data files staying immutable+deterministic exactly as
+here; that swap is confined to _flush/_load (everything else goes
+through pq.read_table, which already accepts URIs). Deliberately NOT
+emulated over pyarrow.fs, because plain object-store rename is
+copy+delete — non-atomic — and would silently break rule 2.
 """
 
 from __future__ import annotations
