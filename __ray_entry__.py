@@ -2188,6 +2188,25 @@ def _q_length_bucket_batches(sf_dir: str):
     return out.sort_values("doc_id").reset_index(drop=True)
 
 
+def _q_epoch_order(sf_dir: str):
+    """Deterministic per-epoch global shuffle order: one distributed sort
+    on md5(key|epoch) — every epoch a different reproducible permutation,
+    any worker can recompute any doc's position (ops/sampling.py
+    epoch_order)."""
+    import ray.data as rd
+
+    from etl_ray.ops.sampling import epoch_order
+
+    ds = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                         columns=["doc_id"])
+    ds = ds.map_batches(
+        lambda t: t.set_column(0, "doc_id",
+                               t["doc_id"].cast("string")),
+        batch_format="pyarrow")
+    out = epoch_order(ds, key_col="doc_id", epoch=3).to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
 def _q_mixture_expand(sf_dir: str):
     """Deterministic data-mixture expansion: src0 down-weighted to 0.5,
     src1 up-weighted to 2.25 (two whole copies + 25% a third), everything
@@ -2815,6 +2834,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cdc_dedup_exact_tokens": _q_cdc_dedup_exact_tokens,
         "length_bucket_batches": _q_length_bucket_batches,
         "mixture_expand": _q_mixture_expand,
+        "epoch_order": _q_epoch_order,
         "chunk_sequences": _q_chunk_sequences,
         "stratified_sample": _q_stratified_sample,
         "top_events_per_user": _q_top_events_per_user,
@@ -3474,6 +3494,13 @@ SELECT doc_id, n_tok, bucket, batch_idx,
        CAST(max(n_tok) OVER (PARTITION BY bucket, batch_idx) - n_tok
             AS BIGINT) AS waste
 FROM r ORDER BY doc_id
+""",
+        "epoch_order": f"""
+SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+       CAST(row_number() OVER (
+           ORDER BY {_md5le64_sql("CAST(doc_id AS VARCHAR) || '|e3|'")},
+                    CAST(doc_id AS VARCHAR)) - 1 AS BIGINT) AS epoch_rank
+FROM documents ORDER BY doc_id
 """,
         "mixture_expand": f"""
 WITH w AS (

@@ -171,3 +171,40 @@ def mixture_expand(ds, *, key_col: str, source_col: str,
         return out.append_column("copy_idx", pa.array(copy_idx))
 
     return ds.map_batches(f, batch_format="pyarrow")
+
+
+def epoch_order(ds, *, key_col: str, epoch: int = 0, seed: str = ""):
+    """Deterministic per-epoch global shuffle order: rank docs by
+    ``md5(key + epoch + seed)`` — every epoch is a different but fully
+    reproducible permutation, and any worker can recompute any doc's
+    position without coordination (the property RNG-stream shuffles lose
+    the moment partitioning changes).
+
+    Scale shape: the hash is per-row; the global rank is ONE distributed
+    sort on it (Ray's range-partitioned sort — the honest cost of a true
+    global permutation). When only approximate mixing is needed, skip the
+    sort and hash-bucket locally instead; this op is for the exact,
+    resumable training order. Returns (key, epoch_rank)."""
+
+    def add_hash(t: pa.Table) -> pa.Table:
+        keys = t[key_col].to_numpy(zero_copy_only=False).astype(str)
+        salted = np.char.add(keys, f"|e{epoch}|{seed}")
+        # UNSIGNED on purpose: the SQL oracle's md5 fold is a UBIGINT and
+        # an int64 view would order the >=2^63 half first
+        h = md5le64(salted.astype(object))
+        return pa.table({key_col: t[key_col], "__h": pa.array(h)})
+
+    ranked = ds.map_batches(add_hash, batch_format="pyarrow") \
+        .sort(["__h", key_col])
+
+    # ranks are assigned per sorted block using the block's global offset
+    # (map_batches over the sorted dataset preserves block order but not
+    # offsets, so enumerate via a monotonic zip)
+    import ray.data as rd
+
+    total = ranked.count()
+    idx = rd.range(total)
+    return ranked.zip(idx).map_batches(
+        lambda t: pa.table({key_col: t[key_col],
+                            "epoch_rank": t["id"]}),
+        batch_format="pyarrow")

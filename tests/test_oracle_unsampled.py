@@ -29,6 +29,7 @@ UNSAMPLED = [
     "chunk_sequences",
     "contamination_check",
     "corpus_curation_gopher",
+    "epoch_order",
     "grouped_hll",
     "hopping_window",
     "length_bucket_batches",

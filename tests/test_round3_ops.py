@@ -217,3 +217,26 @@ def test_mixture_expand_weights():
     lhs = out.sort_values(["doc_id", "copy_idx"]).reset_index(drop=True)
     rhs = again.sort_values(["doc_id", "copy_idx"]).reset_index(drop=True)
     assert lhs.equals(rhs)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_epoch_order_permutations():
+    import pyarrow as pa
+    import ray.data as rd
+
+    from etl_ray.ops.sampling import epoch_order
+
+    t = pa.table({"doc_id": pa.array([str(i) for i in range(100)],
+                                     pa.string())})
+    ds = rd.from_arrow(t).repartition(4)
+    o0 = epoch_order(ds, key_col="doc_id", epoch=0).to_pandas()
+    o1 = epoch_order(ds, key_col="doc_id", epoch=1).to_pandas()
+    # dense ranks, every doc exactly once
+    assert sorted(o0["epoch_rank"]) == list(range(100))
+    assert sorted(o1["epoch_rank"]) == list(range(100))
+    # different epochs give different permutations; same epoch reproduces
+    p0 = o0.sort_values("epoch_rank")["doc_id"].tolist()
+    p1 = o1.sort_values("epoch_rank")["doc_id"].tolist()
+    assert p0 != p1
+    again = epoch_order(ds, key_col="doc_id", epoch=0).to_pandas()
+    assert again.sort_values("epoch_rank")["doc_id"].tolist() == p0
