@@ -2188,6 +2188,33 @@ def _q_length_bucket_batches(sf_dir: str):
     return out.sort_values("doc_id").reset_index(drop=True)
 
 
+def _q_export_shards(sf_dir: str):
+    """Resumable hash-sharded training export: tokenize, write 16
+    deterministic shards (tmp+rename + SUCCESS markers) to a fresh dir,
+    return the shard manifest (ops/export.py — assignment is per-row
+    md5 % n, so the oracle reproduces every shard's doc/token totals in
+    closed form)."""
+    import tempfile
+
+    import ray.data as rd
+
+    from etl_ray.ops.export import export_shards
+    from etl_ray.ops.packing import TokenizeDocs
+
+    ds = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                         columns=["doc_id", "text"])
+    ds = ds.map_batches(
+        lambda t: t.set_column(0, "doc_id", t["doc_id"].cast("string")),
+        batch_format="pyarrow")
+    toks = ds.map_batches(TokenizeDocs(), batch_format="pyarrow")
+    out_dir = tempfile.mkdtemp(prefix="etl_ray_export_")
+    m = export_shards(toks, out_dir, n_shards=16, tokens_col="tokens")
+    m = m.drop(columns=["skipped"])
+    for c in m.columns:
+        m[c] = m[c].astype("int64")
+    return m.sort_values("shard").reset_index(drop=True)
+
+
 def _q_epoch_order(sf_dir: str):
     """Deterministic per-epoch global shuffle order: one distributed sort
     on md5(key|epoch) — every epoch a different reproducible permutation,
@@ -2835,6 +2862,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "length_bucket_batches": _q_length_bucket_batches,
         "mixture_expand": _q_mixture_expand,
         "epoch_order": _q_epoch_order,
+        "export_shards": _q_export_shards,
         "chunk_sequences": _q_chunk_sequences,
         "stratified_sample": _q_stratified_sample,
         "top_events_per_user": _q_top_events_per_user,
@@ -3494,6 +3522,17 @@ SELECT doc_id, n_tok, bucket, batch_idx,
        CAST(max(n_tok) OVER (PARTITION BY bucket, batch_idx) - n_tok
             AS BIGINT) AS waste
 FROM r ORDER BY doc_id
+""",
+        "export_shards": f"""
+WITH tok AS (
+  SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+         len(regexp_extract_all(text, '{_BPE_PAT}')) AS n_tok
+  FROM documents
+)
+SELECT CAST(({_md5le64_sql('doc_id')}) % 16 AS BIGINT) AS shard,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_tok) AS BIGINT) AS n_tok
+FROM tok GROUP BY 1 ORDER BY 1
 """,
         "epoch_order": f"""
 SELECT CAST(doc_id AS VARCHAR) AS doc_id,

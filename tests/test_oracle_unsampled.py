@@ -30,6 +30,7 @@ UNSAMPLED = [
     "contamination_check",
     "corpus_curation_gopher",
     "epoch_order",
+    "export_shards",
     "grouped_hll",
     "hopping_window",
     "length_bucket_batches",
