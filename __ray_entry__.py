@@ -2148,6 +2148,29 @@ def _q_cdc_dedup_exact_tokens(sf_dir: str):
     return out.sort_values("doc_id").reset_index(drop=True)
 
 
+def _q_lake_token_histogram(sf_dir: str):
+    """Corpus unigram distribution over the replayed lake's NATIVE token
+    arrays (ops/textops.py token_id_histogram — zero-copy list_flatten +
+    per-batch bincount collapse; the exchange moves at most |vocab| rows
+    per batch, never the token stream)."""
+    from etl_ray.config import EngineConfig
+    from etl_ray.lake import read_lake
+    from etl_ray.ops.packing import TokenizeDocs
+    from etl_ray.ops.textops import token_id_histogram
+    from etl_ray.pipelines import analogs as A
+    from etl_ray.pipelines.replay import replay
+
+    wal, lake = A.fresh_dirs("tokhist")
+    A.docs_to_changelog(sf_dir, wal)
+    cfg = EngineConfig(num_partitions=8, apply_concurrency=None,
+                       payload=A.docs_payload())
+    replay(wal, lake, cfg)
+    toks = read_lake(lake, columns=["doc_id", "text"]).map_batches(
+        TokenizeDocs(), batch_format="pyarrow")
+    out = token_id_histogram(toks).to_pandas()
+    return out.sort_values("token_id").reset_index(drop=True)
+
+
 def _q_chunk_sequences(sf_dir: str):
     """Long-document sliding-window chunking (max_len=128, overlap=32):
     batch-local 1->N vectorized gather, zero shuffle."""
@@ -2859,6 +2882,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cdc_ivm_view": _q_cdc_ivm_view,
         "cdc_dedup_incremental": _q_cdc_dedup_incremental,
         "cdc_dedup_exact_tokens": _q_cdc_dedup_exact_tokens,
+        "lake_token_histogram": _q_lake_token_histogram,
         "length_bucket_batches": _q_length_bucket_batches,
         "mixture_expand": _q_mixture_expand,
         "epoch_order": _q_epoch_order,
@@ -3654,6 +3678,23 @@ FROM toks WHERE token <> '' GROUP BY token ORDER BY token
 """,
         "dedup_minhash_lsh": _sql_dedup_minhash(),
         "cdc_dedup_incremental": _sql_cdc_dedup_incremental(),
+        "lake_token_histogram": f"""
+WITH nn AS (SELECT count(*) AS n FROM documents),
+final AS (
+  SELECT CAST(d.doc_id AS VARCHAR) AS doc_id,
+         CASE WHEN d.doc_id % 5 = 0 THEN u.text ELSE d.text END AS text
+  FROM documents d
+  CROSS JOIN nn
+  LEFT JOIN documents u ON u.doc_id = (d.doc_id + 1) % nn.n
+  WHERE d.doc_id % 7 <> 0
+), tok AS (
+  SELECT list_transform(regexp_extract_all(text, '{_BPE_PAT}'),
+                        x -> length(x)) AS tk
+  FROM final
+)
+SELECT CAST(t.id AS BIGINT) AS token_id, CAST(count(*) AS BIGINT) AS n
+FROM tok, UNNEST(tk) AS t(id) GROUP BY 1 ORDER BY 1
+""",
         "cdc_dedup_exact_tokens": f"""
 WITH nn AS (SELECT count(*) AS n FROM documents),
 final AS (

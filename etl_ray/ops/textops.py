@@ -273,3 +273,30 @@ def repetition_scores(ds, *, id_col: str = "doc_id", text_col: str = "text"):
         })
 
     return ds.map_batches(f, batch_format="pandas")
+
+
+def token_id_histogram(ds, *, tokens_col: str = "tokens"):
+    """Corpus unigram distribution over NATIVE token arrays — the
+    tokens-payload analog of token_histogram (which counts text words):
+    (token_id, n) for every id in every sequence. The first statistic a
+    tokenizer/vocab audit asks of a pre-tokenized lake.
+
+    Scale shape: combiner-first — each batch flattens its lists zero-copy
+    (list_flatten) and collapses to one row per distinct id via bincount
+    before the shuffle, so the exchange moves at most |vocab-seen| rows
+    per batch, never the token stream."""
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Sum
+
+    def per_batch(t: pa.Table) -> pa.Table:
+        flat = pc.list_flatten(t[tokens_col]).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        if len(flat) == 0:
+            return pa.table({"token_id": pa.array([], pa.int64()),
+                             "n": pa.array([], pa.int64())})
+        ids, counts = np.unique(flat, return_counts=True)
+        return pa.table({"token_id": pa.array(ids),
+                         "n": pa.array(counts.astype(np.int64))})
+
+    return (ds.map_batches(per_batch, batch_format="pyarrow")
+            .groupby("token_id").aggregate(Sum("n", alias_name="n")))

@@ -179,3 +179,18 @@ def test_pivot_avg_cents_exact_and_null_for_absent():
     assert out["avg_a"].tolist() == [2.0, 4.0]
     assert out.loc[0, "avg_b"] == 10.0
     assert np.isnan(out.loc[1, "avg_b"])  # user 2 has no 'b' events
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_token_id_histogram():
+    import pyarrow as pa
+    import ray.data as rd
+
+    from etl_ray.ops.textops import token_id_histogram
+
+    t = pa.table({"tokens": pa.array(
+        [[1, 2, 2], [2, 3], [], [1]], pa.list_(pa.int32()))})
+    out = (token_id_histogram(rd.from_arrow(t).repartition(2)).to_pandas()
+           .sort_values("token_id").reset_index(drop=True))
+    assert out["token_id"].tolist() == [1, 2, 3]
+    assert out["n"].tolist() == [2, 3, 1]

@@ -33,6 +33,7 @@ UNSAMPLED = [
     "export_shards",
     "grouped_hll",
     "hopping_window",
+    "lake_token_histogram",
     "length_bucket_batches",
     "multimodal_real_decode",
     "multimodal_resize",
