@@ -45,11 +45,29 @@ def export_shards(ds, out_dir: str, *, key_col: str = "doc_id",
     """Write ``ds`` as ``n_shards`` resumable Parquet shards; returns the
     shard manifest as a pandas DataFrame (shard, n_docs, n_tok, skipped)
     — n_tok totalled from ``tokens_col`` list lengths when given."""
-    import pyarrow.compute as pc
-
     os.makedirs(out_dir, exist_ok=True)
-    done = frozenset(
-        s for s in range(n_shards) if os.path.exists(_marker(out_dir, s)))
+    config = {"n_shards": n_shards, "seed": seed, "key_col": key_col}
+    done = set()
+    for s in range(n_shards):
+        mp = _marker(out_dir, s)
+        if not os.path.exists(mp):
+            continue
+        with open(mp) as f:
+            meta = json.load(f)
+        # resuming under a DIFFERENT sharding config would silently drop
+        # every doc routed to a "done" shard of the old partitioning —
+        # refuse instead of corrupting the corpus
+        old = {k: meta.get(k) for k in config}
+        if old != config:
+            raise ValueError(
+                f"shard {s} was written with config {old}; this run uses "
+                f"{config} — export to a fresh out_dir")
+        # a marker without its data file is a committed-but-lost shard:
+        # rewrite it rather than trusting the lying manifest
+        if os.path.exists(
+                os.path.join(out_dir, f"shard-{s:05d}.parquet")):
+            done.add(s)
+    done = frozenset(done)
 
     def assign(t: pa.Table) -> pa.Table:
         keys = t[key_col].to_numpy(zero_copy_only=False).astype(str)
@@ -74,7 +92,8 @@ def export_shards(ds, out_dir: str, *, key_col: str = "doc_id",
         tmp = path + ".tmp"
         pq.write_table(pa.Table.from_pandas(g, preserve_index=False), tmp)
         os.replace(tmp, path)
-        meta = {"shard": shard, "n_docs": len(g), "n_tok": n_tok}
+        meta = {"shard": shard, "n_docs": len(g), "n_tok": n_tok,
+                **config}
         mtmp = _marker(out_dir, shard) + ".tmp"
         with open(mtmp, "w") as f:
             json.dump(meta, f)
@@ -85,6 +104,9 @@ def export_shards(ds, out_dir: str, *, key_col: str = "doc_id",
                .groupby("__shard")
                .map_groups(write_shard, batch_format="pandas")
                .to_pandas())
+    if written.empty:  # fully-resumed run: everything was carried
+        written = pd.DataFrame(
+            columns=["shard", "n_docs", "n_tok", "skipped"])
     skipped = []
     for s in sorted(done):
         with open(_marker(out_dir, s)) as f:
@@ -92,19 +114,26 @@ def export_shards(ds, out_dir: str, *, key_col: str = "doc_id",
         skipped.append({**meta, "skipped": True})
     out = pd.concat([written, pd.DataFrame(skipped)], ignore_index=True) \
         if skipped else written
+    out = out[["shard", "n_docs", "n_tok", "skipped"]]
     return out.sort_values("shard").reset_index(drop=True)
 
 
 def read_shards(out_dir: str):
-    """Completed shards (marker present) as one Dataset."""
+    """Completed shards (marker present) as one Dataset. A marker whose
+    data file is missing is a committed-but-lost shard — that is a RAISE,
+    never a silently truncated corpus."""
     import ray.data as rd
 
     paths = []
     for fn in sorted(os.listdir(out_dir)):
         if fn.endswith(".SUCCESS"):
             p = os.path.join(out_dir, fn.replace(".SUCCESS", ".parquet"))
-            if os.path.exists(p):
-                paths.append(p)
+            if not os.path.exists(p):
+                raise FileNotFoundError(
+                    f"shard marker {fn} has no data file — the shard was "
+                    f"committed but its parquet is gone; re-run "
+                    f"export_shards to rebuild it")
+            paths.append(p)
     if not paths:
         raise FileNotFoundError(f"no completed shards under {out_dir}")
     return rd.read_parquet(paths)

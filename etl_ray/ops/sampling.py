@@ -157,7 +157,9 @@ def mixture_expand(ds, *, key_col: str, source_col: str,
         w = pd.Series(src).map(fw).fillna(default_weight).to_numpy(
             np.float64)
         whole = np.floor(w).astype(np.int64)
-        frac_num = np.round((w - whole) * DENOM).astype(np.int64)
+        # half-AWAY-from-zero like SQL round(); np.round's banker's
+        # rounding would diverge on exact .5 numerators
+        frac_num = np.floor((w - whole) * DENOM + 0.5).astype(np.int64)
         keys = batch[key_col].to_numpy(zero_copy_only=False).astype(str)
         if seed:
             keys = np.char.add(keys, seed)
@@ -166,8 +168,7 @@ def mixture_expand(ds, *, key_col: str, source_col: str,
         idx = np.repeat(np.arange(n), copies)
         out = batch.take(pa.array(idx))
         starts = np.concatenate([[0], np.cumsum(copies)[:-1]])
-        copy_idx = np.arange(len(idx), dtype=np.int64) - starts[
-            np.repeat(np.arange(n), copies)]
+        copy_idx = np.arange(len(idx), dtype=np.int64) - starts[idx]
         return out.append_column("copy_idx", pa.array(copy_idx))
 
     return ds.map_batches(f, batch_format="pyarrow")
@@ -194,8 +195,11 @@ def epoch_order(ds, *, key_col: str, epoch: int = 0, seed: str = ""):
         h = md5le64(salted.astype(object))
         return pa.table({key_col: t[key_col], "__h": pa.array(h)})
 
+    # materialize the sorted set ONCE: count() and zip() each execute the
+    # lazy plan, so without it the upstream pipeline and the global sort
+    # would run twice
     ranked = ds.map_batches(add_hash, batch_format="pyarrow") \
-        .sort(["__h", key_col])
+        .sort(["__h", key_col]).materialize()
 
     # ranks are assigned per sorted block using the block's global offset
     # (map_batches over the sorted dataset preserves block order but not

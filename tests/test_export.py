@@ -63,3 +63,33 @@ def test_export_shards_assignment_is_partitioning_independent(tmp_path):
     m_b = export_shards(rd.from_arrow(t).repartition(7),
                         str(tmp_path / "b"), n_shards=4)
     pd.testing.assert_frame_equal(m_a, m_b)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_export_shards_lost_file_and_config_mismatch(tmp_path):
+    import ray.data as rd
+
+    from etl_ray.ops.export import export_shards, read_shards
+
+    out = str(tmp_path / "s")
+    ds = rd.from_arrow(_docs(50))
+    export_shards(ds, out, n_shards=4)
+    # marker survives but data file is lost: resume must REWRITE it,
+    # and read_shards must refuse the half-state rather than truncate
+    os.remove(os.path.join(out, "shard-00002.parquet"))
+    with pytest.raises(FileNotFoundError, match="committed"):
+        read_shards(out)
+    m = export_shards(ds, out, n_shards=4)
+    rewritten = m[~m["skipped"]]
+    assert rewritten["shard"].tolist() == [2]
+    assert len(read_shards(out).to_pandas()) == 50
+
+    # resuming under a different sharding config must refuse loudly
+    with pytest.raises(ValueError, match="fresh out_dir"):
+        export_shards(ds, out, n_shards=8)
+    with pytest.raises(ValueError, match="fresh out_dir"):
+        export_shards(ds, out, n_shards=4, seed="other")
+
+    # fully-resumed run: everything carried, empty written frame handled
+    m2 = export_shards(ds, out, n_shards=4)
+    assert m2["skipped"].all() and len(m2) == 4
