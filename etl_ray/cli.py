@@ -106,6 +106,23 @@ def main(argv=None) -> int:
     common(sp)
 
     sp = sub.add_parser(
+        "sigindex", help="build or delta-refresh the lake's MinHash "
+                         "signature index (ops/dedup_ivm.py)")
+    sp.add_argument("--lake", required=True)
+    sp.add_argument("--name", default="minhash_sigs")
+    sp.add_argument("--text-col", default="text", dest="text_col")
+    sp.add_argument("--build", action="store_true",
+                    help="full (re)build at head instead of a refresh")
+
+    sp = sub.add_parser(
+        "shards", help="export live rows as resumable hash-sharded "
+                       "training parquet (ops/export.py)")
+    sp.add_argument("--lake", required=True)
+    sp.add_argument("--out", required=True)
+    sp.add_argument("--n-shards", type=int, default=64, dest="n_shards")
+    sp.add_argument("--tokens-col", default=None, dest="tokens_col")
+
+    sp = sub.add_parser(
         "worker", help="HTTP one-shot worker (/v2/worker, /replay, /status)")
     sp.add_argument("--host", default="127.0.0.1")
     sp.add_argument("--port", type=int, default=8080)
@@ -205,6 +222,36 @@ def main(argv=None) -> int:
                                 args.out)
             print(json.dumps({"files": len(stats),
                               "rows": int(stats["rows"].sum())}))
+            return 0
+        if args.cmd == "sigindex":
+            from etl_ray.ops.dedup_ivm import (build_signature_index,
+                                               refresh_signature_index)
+
+            if args.build:
+                s = build_signature_index(args.lake, name=args.name,
+                                          text_col=args.text_col)
+            else:
+                try:
+                    s = refresh_signature_index(args.lake, name=args.name)
+                except FileNotFoundError:
+                    s = build_signature_index(args.lake, name=args.name,
+                                              text_col=args.text_col)
+            print(json.dumps(s))
+            return 0
+        if args.cmd == "shards":
+            from etl_ray.lake import read_lake
+            from etl_ray.ops.export import export_shards
+
+            m = export_shards(read_lake(args.lake), args.out,
+                              n_shards=args.n_shards,
+                              tokens_col=args.tokens_col)
+            print(json.dumps({
+                "shards": len(m),
+                "written": int((~m["skipped"]).sum()),
+                "skipped": int(m["skipped"].sum()),
+                "n_docs": int(m["n_docs"].sum()),
+                "n_tok": int(m["n_tok"].sum()),
+            }))
             return 0
     finally:
         import ray

@@ -114,7 +114,10 @@ def export_shards(ds, out_dir: str, *, key_col: str = "doc_id",
         skipped.append({**meta, "skipped": True})
     out = pd.concat([written, pd.DataFrame(skipped)], ignore_index=True) \
         if skipped else written
-    out = out[["shard", "n_docs", "n_tok", "skipped"]]
+    out = out[["shard", "n_docs", "n_tok", "skipped"]].astype(
+        {"shard": "int64", "n_docs": "int64", "n_tok": "int64",
+         "skipped": "bool"})  # concat with an empty frame degrades to
+    # object dtype, and `~object-bool` silently bit-flips ints
     return out.sort_values("shard").reset_index(drop=True)
 
 
