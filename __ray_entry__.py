@@ -1828,6 +1828,20 @@ def _q_text_quality(sf_dir: str):
     return out.sort_values("doc_id").reset_index(drop=True)
 
 
+def _q_oov_rates(sf_dir: str):
+    """Per-doc out-of-vocabulary rate vs the corpus's own top-20 vocab
+    (ops/textops.py oov_rates — vocab broadcast once via ray.put, corpus
+    streams with searchsorted membership, zero shuffle in pass 2)."""
+    import ray.data as rd
+
+    from etl_ray.ops.textops import oov_rates
+
+    ds = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                         columns=["doc_id", "text"])
+    out = oov_rates(ds, vocab_k=20).to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
 def _q_repetition_scores(sf_dir: str):
     """Gopher-style repetition curation signals per document: duplicate
     word fraction, top word/bigram coverage, duplicate trigram fraction
@@ -2904,6 +2918,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "text_token_counts": _q_text_tokens,
         "text_quality": _q_text_quality,
         "repetition_scores": _q_repetition_scores,
+        "oov_rates": _q_oov_rates,
         "doc_fingerprint": _q_doc_fingerprint,
         "lang_id": _q_lang_id,
         "pii_scrub": _q_pii_scrub,
@@ -3826,6 +3841,24 @@ ORDER BY c.doc_id
         "lang_id": _sql_lang_id(),
         "pii_scrub": _sql_pii_scrub(),
         "contamination_check": _sql_contamination(),
+        "oov_rates": r"""
+WITH toks AS (
+  SELECT doc_id, UNNEST(regexp_split_to_array(trim(text), '\s+')) AS token
+  FROM documents WHERE text IS NOT NULL AND trim(text) <> ''
+), filt AS (SELECT doc_id, token FROM toks WHERE token <> ''),
+hist AS (SELECT token, count(*) AS n FROM filt GROUP BY token),
+vocab AS (SELECT token FROM hist ORDER BY n DESC, token ASC LIMIT 20),
+per AS (
+  SELECT doc_id, count(*) AS n_tok,
+         count(*) FILTER (
+             WHERE token NOT IN (SELECT token FROM vocab)) AS n_oov
+  FROM filt GROUP BY doc_id
+)
+SELECT doc_id, CAST(n_tok AS BIGINT) AS n_tok,
+       CAST(n_oov AS BIGINT) AS n_oov,
+       floor(n_oov / n_tok * 1e4 + 0.5) / 1e4 + 0.0 AS oov_rate
+FROM per ORDER BY doc_id
+""",
         "repetition_scores": r"""
 WITH toks AS (
   SELECT doc_id,

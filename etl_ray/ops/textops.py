@@ -300,3 +300,53 @@ def token_id_histogram(ds, *, tokens_col: str = "tokens"):
 
     return (ds.map_batches(per_batch, batch_format="pyarrow")
             .groupby("token_id").aggregate(Sum("n", alias_name="n")))
+
+
+def oov_rates(ds, *, text_col: str = "text", id_col: str = "doc_id",
+              vocab_k: int = 200):
+    """Per-document out-of-vocabulary rate against the corpus's own top-k
+    vocabulary — the noise detector that catches mojibake, boilerplate
+    markup and wrong-language residue curation filters miss (a normal doc
+    draws most tokens from the head of the corpus distribution).
+
+    Two passes, both scale-shaped: (1) the corpus histogram collapses
+    combiner-first and only the k-row vocab reaches the driver (see
+    top_tokens); (2) the vocab broadcasts once via ray.put and each batch
+    counts membership with a sorted-array searchsorted — zero shuffle,
+    the corpus streams. Returns (id, n_tok, n_oov, oov_rate) with the
+    rate rounded half-away-from-zero to 4 decimals (SQL round parity);
+    empty docs are dropped."""
+    import ray
+
+    vocab = top_tokens(ds, text_col=text_col, k=vocab_k)["token"]
+    vref = ray.put(np.sort(vocab.to_numpy().astype(str)))
+
+    def f(df: pd.DataFrame) -> pd.DataFrame:
+        v = ray.get(vref)
+        df = df[df[text_col].notna()].reset_index(drop=True)
+        toks = df[text_col].astype(str).str.split().explode().dropna()
+        toks = toks[toks != ""]
+        if len(toks) == 0:
+            return pd.DataFrame({
+                id_col: pd.Series([], dtype=df[id_col].dtype),
+                "n_tok": pd.Series([], dtype="int64"),
+                "n_oov": pd.Series([], dtype="int64"),
+                "oov_rate": pd.Series([], dtype="float64"),
+            })
+        r = toks.index.to_numpy()
+        t = toks.to_numpy().astype(str)
+        pos = np.searchsorted(v, t)
+        inv = (pos < len(v)) & (v[np.minimum(pos, len(v) - 1)] == t)
+        n_tok = np.bincount(r, minlength=len(df))
+        n_oov = np.bincount(r, weights=(~inv).astype(np.float64),
+                            minlength=len(df)).astype(np.int64)
+        keep = n_tok > 0
+        rate = np.floor(n_oov[keep] / n_tok[keep] * 1e4 + 0.5) / 1e4
+        return pd.DataFrame({
+            id_col: df[id_col].to_numpy()[keep],
+            "n_tok": n_tok[keep].astype("int64"),
+            "n_oov": n_oov[keep],
+            "oov_rate": rate + 0.0,
+        })
+
+    return ds.map_batches(f, batch_format="pandas")

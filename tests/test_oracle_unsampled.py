@@ -41,6 +41,7 @@ UNSAMPLED = [
     "multimodal_audio",
     "multimodal_video",
     "ndt5_scrub",
+    "oov_rates",
     "ndt7_scrub",
     "ndt_group_deltas",
     "pii_scrub",

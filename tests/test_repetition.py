@@ -66,3 +66,24 @@ def test_repetition_scores_rounding_is_half_away_from_zero():
     toks = [f"t{i}" for i in range(31)] + ["t0", "t1", "t2"]
     out = _run([" ".join(toks)])
     assert out.iloc[0]["dup_trigram_frac"] == 0.0313
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_oov_rates_hand_case():
+    import pyarrow as pa
+    import ray.data as rd
+
+    from etl_ray.ops.textops import oov_rates
+
+    # counts: a=3, z=3, b=2, x=1 -> top-2 vocab {a, z} (count desc,
+    # token asc tie-break)
+    texts = ["a a b x", "a b", "z z z", ""]
+    ds = rd.from_arrow(pa.table({
+        "doc_id": pa.array(range(4), pa.int64()),
+        "text": pa.array(texts, pa.string()),
+    }))
+    out = (oov_rates(ds, vocab_k=2).to_pandas()
+           .sort_values("doc_id").reset_index(drop=True))
+    assert out["doc_id"].tolist() == [0, 1, 2]  # empty doc dropped
+    assert out["n_oov"].tolist() == [2, 1, 0]
+    assert out["oov_rate"].tolist() == [0.5, 0.5, 0.0]
