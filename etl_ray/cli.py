@@ -224,18 +224,26 @@ def main(argv=None) -> int:
                               "rows": int(stats["rows"].sum())}))
             return 0
         if args.cmd == "sigindex":
-            from etl_ray.ops.dedup_ivm import (build_signature_index,
+            from etl_ray.ops.dedup_ivm import (_load_meta,
+                                               build_signature_index,
                                                refresh_signature_index)
 
-            if args.build:
+            # decide build-vs-refresh by the META SENTINEL, not by
+            # catching FileNotFoundError — a refresh that raises it has
+            # LOST index/lake files, which must surface, not silently
+            # degrade into an O(corpus) rebuild
+            meta = _load_meta(args.lake, args.name)
+            if args.build or meta is None:
                 s = build_signature_index(args.lake, name=args.name,
                                           text_col=args.text_col)
             else:
-                try:
-                    s = refresh_signature_index(args.lake, name=args.name)
-                except FileNotFoundError:
-                    s = build_signature_index(args.lake, name=args.name,
-                                              text_col=args.text_col)
+                if args.text_col != meta.get("text_col"):
+                    raise SystemExit(
+                        f"index '{args.name}' was built over "
+                        f"text_col={meta.get('text_col')!r}; a refresh "
+                        f"cannot change it — pass --build to rebuild "
+                        f"over {args.text_col!r}")
+                s = refresh_signature_index(args.lake, name=args.name)
             print(json.dumps(s))
             return 0
         if args.cmd == "shards":

@@ -126,7 +126,11 @@ def token_histogram(ds, *, text_col: str = "text"):
     from ray.data.aggregate import Sum
 
     def partial(df: pd.DataFrame) -> pd.DataFrame:
-        toks = df[text_col].astype(str).str.split().explode().dropna()
+        # drop nulls BEFORE astype(str): a null text would otherwise count
+        # a literal 'None' token (the oracle's trim(text) <> '' already
+        # excludes nulls — keep the engine aligned)
+        toks = df.loc[df[text_col].notna(), text_col] \
+            .astype(str).str.split().explode().dropna()
         vc = toks.value_counts()
         return pd.DataFrame({"token": vc.index.astype(str),
                              "n": vc.to_numpy(dtype="int64")})
@@ -338,8 +342,7 @@ def oov_rates(ds, *, text_col: str = "text", id_col: str = "doc_id",
         pos = np.searchsorted(v, t)
         inv = (pos < len(v)) & (v[np.minimum(pos, len(v) - 1)] == t)
         n_tok = np.bincount(r, minlength=len(df))
-        n_oov = np.bincount(r, weights=(~inv).astype(np.float64),
-                            minlength=len(df)).astype(np.int64)
+        n_oov = np.bincount(r[~inv], minlength=len(df))
         keep = n_tok > 0
         rate = np.floor(n_oov[keep] / n_tok[keep] * 1e4 + 0.5) / 1e4
         return pd.DataFrame({

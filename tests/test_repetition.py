@@ -87,3 +87,23 @@ def test_oov_rates_hand_case():
     assert out["doc_id"].tolist() == [0, 1, 2]  # empty doc dropped
     assert out["n_oov"].tolist() == [2, 1, 0]
     assert out["oov_rate"].tolist() == [0.5, 0.5, 0.0]
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_vocab_and_oov_ignore_null_text():
+    import pyarrow as pa
+    import ray.data as rd
+
+    from etl_ray.ops.textops import oov_rates, token_histogram
+
+    # many null-text docs must NOT put a literal 'None' token in the
+    # vocab (the oracle's trim(text) <> '' excludes nulls)
+    t = pa.table({
+        "doc_id": pa.array(range(6), pa.int64()),
+        "text": pa.array(["a b", "a c", None, None, None, None],
+                         pa.string()),
+    })
+    h = token_histogram(rd.from_arrow(t)).to_pandas()
+    assert "None" not in set(h["token"])
+    out = oov_rates(rd.from_arrow(t), vocab_k=1).to_pandas()
+    assert out["doc_id"].tolist() == [0, 1]  # null docs dropped
