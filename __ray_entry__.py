@@ -1828,6 +1828,21 @@ def _q_text_quality(sf_dir: str):
     return out.sort_values("doc_id").reset_index(drop=True)
 
 
+def _q_source_quality(sf_dir: str):
+    """Per-source corpus quality rollup (ops/textops.py
+    source_quality_report — exact integer totals, mergeable sums,
+    combiner-first; ratios derived once from the totals, never
+    mean-of-means)."""
+    import ray.data as rd
+
+    from etl_ray.ops.textops import source_quality_report
+
+    ds = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                         columns=["source", "text"])
+    out = source_quality_report(ds).to_pandas()
+    return out.sort_values("source").reset_index(drop=True)
+
+
 def _q_oov_rates(sf_dir: str):
     """Per-doc out-of-vocabulary rate vs the corpus's own top-20 vocab
     (ops/textops.py oov_rates — vocab broadcast once via ray.put, corpus
@@ -2919,6 +2934,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "text_quality": _q_text_quality,
         "repetition_scores": _q_repetition_scores,
         "oov_rates": _q_oov_rates,
+        "source_quality": _q_source_quality,
         "doc_fingerprint": _q_doc_fingerprint,
         "lang_id": _q_lang_id,
         "pii_scrub": _q_pii_scrub,
@@ -3841,6 +3857,24 @@ ORDER BY c.doc_id
         "lang_id": _sql_lang_id(),
         "pii_scrub": _sql_pii_scrub(),
         "contamination_check": _sql_contamination(),
+        "source_quality": f"""
+WITH q AS (
+  SELECT source, length(text) AS c,
+         CASE WHEN trim(coalesce(text, '')) = '' THEN 0
+              ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS w,
+         len(regexp_extract_all(lower(text), '{_STOP_PAT}')) AS s,
+         len(regexp_extract_all(text, '[^\\w\\s]')) AS p
+  FROM documents
+)
+SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(c) AS BIGINT) AS total_chars,
+       CAST(sum(w) AS BIGINT) AS total_words,
+       floor(sum(s) / CAST(greatest(sum(w), 1) AS DOUBLE) * 1e4 + 0.5)
+           / 1e4 + 0.0 AS stop_ratio,
+       floor(sum(p) / CAST(greatest(sum(c), 1) AS DOUBLE) * 1e4 + 0.5)
+           / 1e4 + 0.0 AS punct_ratio
+FROM q GROUP BY source ORDER BY source
+""",
         "oov_rates": r"""
 WITH toks AS (
   SELECT doc_id, UNNEST(regexp_split_to_array(trim(text), '\s+')) AS token

@@ -353,3 +353,46 @@ def oov_rates(ds, *, text_col: str = "text", id_col: str = "doc_id",
         })
 
     return ds.map_batches(f, batch_format="pandas")
+
+
+def source_quality_report(ds, *, source_col: str = "source",
+                          text_col: str = "text"):
+    """Per-source corpus quality rollup — the dashboard that drives
+    mixture decisions: (source, n_docs, total_chars, total_words,
+    stop_ratio, punct_ratio), ratios computed from EXACT integer totals
+    (mergeable sums; no mean-of-means bias) and rounded half-away to 4
+    decimals. Combiner-first: each batch collapses to one row per source
+    before the shuffle; the final table is |sources| rows."""
+    from ray.data.aggregate import Sum
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        t = df[text_col].fillna("")
+        g = pd.DataFrame({
+            source_col: df[source_col].to_numpy(),
+            "n_docs": np.int64(1),
+            "total_chars": t.str.len().to_numpy(dtype=np.int64),
+            "total_words": T.word_count(t),
+            "_stop": T.stopword_count(t),
+            "_punct": t.str.count(r"[^\w\s]").to_numpy(dtype=np.int64),
+        })
+        return g.groupby(source_col, as_index=False).sum()
+
+    agg = (ds.map_batches(partial, batch_format="pandas")
+           .groupby(source_col)
+           .aggregate(Sum("n_docs", alias_name="n_docs"),
+                      Sum("total_chars", alias_name="total_chars"),
+                      Sum("total_words", alias_name="total_words"),
+                      Sum("_stop", alias_name="_stop"),
+                      Sum("_punct", alias_name="_punct")))
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        w = np.maximum(df["total_words"].to_numpy(dtype=np.float64), 1.0)
+        c = np.maximum(df["total_chars"].to_numpy(dtype=np.float64), 1.0)
+        df = df.copy()
+        df["stop_ratio"] = np.floor(
+            df["_stop"].to_numpy() / w * 1e4 + 0.5) / 1e4 + 0.0
+        df["punct_ratio"] = np.floor(
+            df["_punct"].to_numpy() / c * 1e4 + 0.5) / 1e4 + 0.0
+        return df.drop(columns=["_stop", "_punct"])
+
+    return agg.map_batches(finish, batch_format="pandas")
