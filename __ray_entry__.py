@@ -1828,6 +1828,20 @@ def _q_text_quality(sf_dir: str):
     return out.sort_values("doc_id").reset_index(drop=True)
 
 
+def _q_source_kl(sf_dir: str):
+    """Per-source KL divergence from the corpus token distribution — the
+    source-drift detector (ops/ngrams.py source_kl_divergence;
+    combiner-first (source, token) counts, |vocab|-scale tables only)."""
+    import ray.data as rd
+
+    from etl_ray.ops.ngrams import source_kl_divergence
+
+    ds = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                         columns=["source", "text"])
+    out = source_kl_divergence(ds).to_pandas()
+    return out.sort_values("source").reset_index(drop=True)
+
+
 def _q_source_quality(sf_dir: str):
     """Per-source corpus quality rollup (ops/textops.py
     source_quality_report — exact integer totals, mergeable sums,
@@ -2935,6 +2949,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "repetition_scores": _q_repetition_scores,
         "oov_rates": _q_oov_rates,
         "source_quality": _q_source_quality,
+        "source_kl": _q_source_kl,
         "doc_fingerprint": _q_doc_fingerprint,
         "lang_id": _q_lang_id,
         "pii_scrub": _q_pii_scrub,
@@ -3857,6 +3872,25 @@ ORDER BY c.doc_id
         "lang_id": _sql_lang_id(),
         "pii_scrub": _sql_pii_scrub(),
         "contamination_check": _sql_contamination(),
+        "source_kl": r"""
+WITH toks AS (
+  SELECT source, UNNEST(regexp_split_to_array(trim(text), '\s+')) AS token
+  FROM documents WHERE text IS NOT NULL AND trim(text) <> ''
+), f AS (SELECT source, token FROM toks WHERE token <> ''),
+sc AS (SELECT source, token, count(*) AS n FROM f GROUP BY 1, 2),
+ct AS (SELECT token, sum(n) AS n_c FROM sc GROUP BY 1),
+tot AS (SELECT sum(n) AS t FROM sc),
+st AS (SELECT source, sum(n) AS t_s FROM sc GROUP BY 1)
+SELECT sc.source, CAST(st.t_s AS BIGINT) AS n_tok,
+       floor(sum((sc.n / st.t_s)
+                 * ln((sc.n / st.t_s) / (ct.n_c / tot.t))) * 1e4 + 0.5)
+           / 1e4 + 0.0 AS kl_nats
+FROM sc
+JOIN ct USING (token)
+JOIN st ON st.source = sc.source
+CROSS JOIN tot
+GROUP BY sc.source, st.t_s ORDER BY sc.source
+""",
         "source_quality": f"""
 WITH q AS (
   SELECT source, length(text) AS c,

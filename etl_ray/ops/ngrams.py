@@ -191,3 +191,59 @@ def pmi_bigrams(ds, *, text_col: str = "text", min_count: int = 2,
 
     out = big.map_batches(score, batch_format="pyarrow").to_pandas()
     return out.sort_values(["w1", "w2"]).reset_index(drop=True)
+
+
+def source_kl_divergence(ds, *, source_col: str = "source",
+                         text_col: str = "text", round_to: int = 4):
+    """Per-source KL divergence of the source's token distribution from
+    the whole-corpus distribution, in nats — the drift detector that
+    flags a source whose vocabulary stopped looking like the corpus
+    (encoding breakage, scraper drift, template floods).
+
+    KL(p_s || p_c) = Σ_t p_s(t) · ln(p_s(t) / p_c(t)); p_c covers every
+    source's tokens, so the ratio is always finite. Scale shape: one
+    combiner-first (source, token) count pass — the shuffle carries one
+    row per distinct (source, token) per batch, never the token stream —
+    then the per-source fold runs inside map_groups on the token-count
+    table; nothing token-shaped reaches the driver."""
+    from ray.data.aggregate import Sum
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        d = df[df[text_col].notna()]
+        toks = d[text_col].astype(str).str.split().explode().dropna()
+        f = pd.DataFrame({
+            source_col: d[source_col].reindex(toks.index).to_numpy(),
+            "token": toks.to_numpy(),
+        })
+        g = f.groupby([source_col, "token"], as_index=False).size()
+        return g.rename(columns={"size": "n"})
+
+    counts = (ds.map_batches(partial, batch_format="pandas")
+              .groupby([source_col, "token"])
+              .aggregate(Sum("n", alias_name="n")))
+
+    # corpus totals per token are a second small aggregate of the SAME
+    # count table; both sides are |vocab|-scale, so the join is cheap
+    cdf = counts.groupby("token").aggregate(
+        Sum("n", alias_name="n_corpus")).to_pandas()
+    total_c = float(cdf["n_corpus"].sum())
+
+    import ray
+    cref = ray.put(cdf.set_index("token")["n_corpus"])
+
+    def per_source(g: pd.DataFrame) -> pd.DataFrame:
+        nc = ray.get(cref)
+        n_s = g["n"].to_numpy(dtype=np.float64)
+        tot_s = n_s.sum()
+        p_s = n_s / tot_s
+        p_c = nc.reindex(g["token"]).to_numpy(dtype=np.float64) / total_c
+        kl = float((p_s * np.log(p_s / p_c)).sum())
+        return pd.DataFrame({
+            source_col: [g[source_col].iloc[0]],
+            "n_tok": [np.int64(tot_s)],
+            "kl_nats": [np.floor(kl * 10 ** round_to + 0.5)
+                        / 10 ** round_to + 0.0],
+        })
+
+    return counts.groupby(source_col).map_groups(
+        per_source, batch_format="pandas")

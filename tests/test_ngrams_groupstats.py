@@ -194,3 +194,26 @@ def test_token_id_histogram():
            .sort_values("token_id").reset_index(drop=True))
     assert out["token_id"].tolist() == [1, 2, 3]
     assert out["n"].tolist() == [2, 3, 1]
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_source_kl_divergence():
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from etl_ray.ops.ngrams import source_kl_divergence
+
+    # source 'same' mirrors the corpus mix; 'skew' is all one token
+    t = pa.table({
+        "source": pa.array(["same", "same", "skew", "skew"]),
+        "text": pa.array(["a b", "c d", "z z", "z z"]),
+    })
+    out = (source_kl_divergence(rd.from_arrow(t)).to_pandas()
+           .sort_values("source").reset_index(drop=True))
+    assert out["n_tok"].tolist() == [4, 4]
+    # hand-computed: corpus p(z)=0.5, others 0.125 each
+    # same: 4 tokens p_s=0.25 each -> sum 0.25*ln(0.25/0.125)*4 = ln 2
+    # skew: p_s(z)=1 -> ln(1/0.5) = ln 2
+    exp = np.floor(np.log(2) * 1e4 + 0.5) / 1e4
+    assert out["kl_nats"].tolist() == [exp, exp]

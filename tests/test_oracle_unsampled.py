@@ -49,6 +49,7 @@ UNSAMPLED = [
     "range_join_events",
     "repetition_scores",
     "revenue_by_nation",
+    "source_kl",
     "source_quality",
     "stratified_sample",
     "token_histogram",
