@@ -288,6 +288,39 @@ FROM comp ORDER BY doc_id
 """
 
 
+def _sql_dup_clusters_quality(threshold: float = 0.3) -> str:
+    """Quality-canonical cluster selection: winner = max n_words, ties
+    broken by min doc_id — mirrors components.dup_clusters_by_quality."""
+    return f"""
+WITH RECURSIVE {_scored_pairs_ctes(threshold)},
+edges AS (SELECT id_a AS a, id_b AS b FROM vpairs
+          UNION SELECT id_b, id_a FROM vpairs),
+reach(node, lab) AS (
+  SELECT a, a FROM edges
+  UNION
+  SELECT e.a, r.lab FROM edges e JOIN reach r ON r.node = e.b
+),
+comp AS (SELECT node, min(lab) AS component FROM reach GROUP BY node),
+q AS (
+  SELECT doc_id,
+         CASE WHEN trim(coalesce(text, '')) = '' THEN 0
+              ELSE len(regexp_split_to_array(trim(text), '\\s+'))
+         END AS n_words
+  FROM documents
+),
+lab AS (SELECT c.node AS doc_id, c.component, q.n_words
+        FROM comp c JOIN q ON q.doc_id = c.node),
+best AS (SELECT component, max(n_words) AS bq FROM lab GROUP BY 1),
+win AS (SELECT l.component, min(l.doc_id) AS w
+        FROM lab l JOIN best b
+          ON b.component = l.component AND l.n_words = b.bq
+        GROUP BY 1)
+SELECT l.doc_id, l.component, (l.doc_id = w.w) AS keep
+FROM lab l JOIN win w ON w.component = l.component
+ORDER BY l.doc_id
+"""
+
+
 def _sql_dedup_simhash(max_hamming: int = 10) -> str:
     return f"""
 WITH docs AS (SELECT doc_id, {_NORM_SQL} AS norm FROM documents),
@@ -1563,6 +1596,34 @@ def _q_dedup_clusters(sf_dir: str):
     cand = minhash_lsh_candidates(ds, concurrency=2)
     pairs = verify_candidates(ds, cand, threshold=0.3)
     out = dup_clusters(pairs).to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+def _q_dup_clusters_quality(sf_dir: str):
+    """Near-dup clusters with QUALITY-canonical selection: the kept
+    member is the highest-n_words doc (ties → min id), not the min id —
+    keep the longest copy of each near-dup family
+    (ops/components.py dup_clusters_by_quality: one hash join + one
+    bucketed per-component pass, deliberately not chained joins)."""
+    import pandas as pd
+    import ray.data as rd
+
+    from etl_ray.ops.components import dup_clusters_by_quality
+    from etl_ray.ops.dedup import minhash_lsh_candidates, verify_candidates
+
+    ds = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                         columns=["doc_id", "text"])
+    cand = minhash_lsh_candidates(ds, concurrency=2)
+    pairs = verify_candidates(ds, cand, threshold=0.3)
+
+    def qual(df: pd.DataFrame) -> pd.DataFrame:
+        from etl_ray.functions.text import word_count
+
+        return pd.DataFrame({"doc_id": df["doc_id"].to_numpy(),
+                             "n_words": word_count(df["text"])})
+
+    quality = ds.map_batches(qual, batch_format="pandas")
+    out = dup_clusters_by_quality(pairs, quality).to_pandas()
     return out.sort_values("doc_id").reset_index(drop=True)
 
 
@@ -2876,6 +2937,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_minhash_lsh": _q_dedup_minhash,
         "dedup_ngram_jaccard": _q_dedup_ngram_jaccard,
         "dedup_clusters": _q_dedup_clusters,
+        "dup_clusters_quality": _q_dup_clusters_quality,
         "doc_frequencies": _q_doc_frequencies,
         "bm25_scores": _q_bm25_scores,
         "tfidf_weights": _q_tfidf_weights,
@@ -3761,6 +3823,7 @@ FROM tok GROUP BY tk ORDER BY doc_id
 """,
         "dedup_ngram_jaccard": _sql_dedup_ngram_jaccard(0.3),
         "dedup_clusters": _sql_dedup_clusters(0.3),
+        "dup_clusters_quality": _sql_dup_clusters_quality(0.3),
         "doc_frequencies": _sql_doc_frequencies(),
         "bm25_scores": _sql_bm25_scores(_BM25_TERMS),
         "tfidf_weights": _sql_tfidf_weights(_BM25_TERMS),

@@ -187,3 +187,46 @@ def dup_clusters(pairs, *, id_col: str = "doc_id",
                          "keep": keep})
 
     return cc.map_batches(finish, batch_format="pyarrow")
+
+
+def dup_clusters_by_quality(pairs, quality, *, id_col: str = "doc_id",
+                            quality_col: str = "n_words",
+                            id_a: str = "id_a", id_b: str = "id_b",
+                            num_partitions: int = None):
+    """Keep/drop per clustered doc where the canonical member is the
+    HIGHEST-quality one (ties → min id), not the min id — the curation
+    refinement that keeps the longest/cleanest copy of a near-dup family
+    instead of whichever id sorts first.
+
+    ``quality`` is a Dataset of (id_col, quality_col). Scale shape: ONE
+    hash join attaches quality to the (small — clustered docs only)
+    component table, then the per-component winner is a single bucketed
+    map_groups pass (vectorized transform, no per-group Python beyond
+    the groupby dispatch). Deliberately NOT a chain of Dataset.joins:
+    each join parks an aggregator actor pool, and chained pools can
+    reserve past cluster capacity and wedge (see joins.hash_join_kw)."""
+    import pandas as pd
+
+    from etl_ray.ops.joins import hash_join_kw
+
+    cc = connected_components(pairs, id_a=id_a, id_b=id_b,
+                              num_partitions=num_partitions)
+    renamed = cc.map_batches(
+        lambda t: t.rename_columns(
+            [id_col if c == "node" else c for c in t.column_names]),
+        batch_format="pyarrow")
+    labeled = renamed.join(quality, on=(id_col,), **hash_join_kw())
+
+    def per_component(g: pd.DataFrame) -> pd.DataFrame:
+        # winner = max quality, then min id — one vectorized transform
+        q = g[quality_col].to_numpy()
+        best = q == q.max()
+        winner = g.loc[best, id_col].min()
+        return pd.DataFrame({
+            id_col: g[id_col].to_numpy(),
+            "component": g["component"].to_numpy(),
+            "keep": (g[id_col] == winner).to_numpy(),
+        })
+
+    return labeled.groupby("component").map_groups(
+        per_component, batch_format="pandas")

@@ -29,6 +29,7 @@ UNSAMPLED = [
     "chunk_sequences",
     "contamination_check",
     "corpus_curation_gopher",
+    "dup_clusters_quality",
     "epoch_order",
     "export_shards",
     "grouped_hll",

@@ -328,3 +328,26 @@ def test_bucket_self_pairs_multikey_hot_drop_is_partial():
                              "doc_id", 3).to_pandas()
     got = set(map(tuple, out[["id_a", "id_b"]].itertuples(index=False)))
     assert got == {(5, 6), (5, 7), (6, 7)}
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_dup_clusters_by_quality_hand_case():
+    import pyarrow as pa
+    import ray.data as rd
+
+    from etl_ray.ops.components import dup_clusters_by_quality
+
+    pairs = rd.from_arrow(pa.table({
+        "id_a": pa.array(["a", "b", "x"], pa.string()),
+        "id_b": pa.array(["b", "c", "y"], pa.string()),
+    }))
+    q = rd.from_arrow(pa.table({
+        "doc_id": pa.array(["a", "b", "c", "x", "y"], pa.string()),
+        "n_words": pa.array([5, 9, 9, 3, 7], pa.int64()),
+    }))
+    out = (dup_clusters_by_quality(pairs, q).to_pandas()
+           .sort_values("doc_id").reset_index(drop=True))
+    # {a,b,c}: b and c tie at 9 -> min id b; {x,y}: y (7) beats x (3)
+    kept = out[out.keep]["doc_id"].tolist()
+    assert kept == ["b", "y"]
+    assert out["component"].tolist() == ["a", "a", "a", "x", "x"]
